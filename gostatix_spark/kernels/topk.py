@@ -1,0 +1,109 @@
+"""Top-K kernel: CMS + candidate set.
+
+The reference's Top-K (``top_k.go:62-134``) is a CMS plus a min-heap of
+(element, CMS-estimated frequency) maintained per insert. Two kernels
+live here:
+
+* :class:`TopKStream` — exact replay of the reference's stream-order
+  heap semantics (``top_k.go:95-113`` insert condition, remove-then-push
+  dedup, pop-min overflow; ``Values()`` sort = count desc, element asc
+  on ties, ``top_k.go:116-134``). Used for unit-vector replay and small
+  driver-side queries; NOT the distributed hot path.
+
+* batch/partial functions — the distributed design (SURVEY.md §2.1 T5,
+  §3.2): phase 1 keeps a CMS plus the *exact* per-partition top
+  (k·slack) candidates; the final merge sums the CMS states, unions the
+  candidate sets, re-estimates every candidate against the merged CMS
+  and keeps the top k. The reference has no TopK.Merge — this is the
+  documented distributed extension.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import Counter
+
+import numpy as np
+
+from gostatix_spark import hashing
+from gostatix_spark.kernels import cms
+
+
+class TopKStream:
+    """Reference-faithful single-node Top-K (stream order matters)."""
+
+    def __init__(self, k: int, d: int, w: int):
+        self.k = k
+        self.matrix = cms.new_state(d, w)
+        self.all_sum = 0
+        self.heap: list[tuple[int, bytes]] = []  # (frequency, element) min-heap
+
+    def insert(self, data: bytes, count: int = 1) -> None:
+        if count <= 0:
+            raise ValueError("count must be greater than zero")
+        h1, h2 = hashing.hash_bytes_batch([data], "metro")
+        self.all_sum += cms.update_batch(self.matrix, h1, h2,
+                                         np.array([count], dtype=np.uint64))
+        freq = int(cms.query_batch(self.matrix, h1, h2)[0])
+        if len(self.heap) < self.k or freq >= self.heap[0][0]:
+            idx = next((i for i, (_, e) in enumerate(self.heap) if e == data), -1)
+            if idx > -1:
+                self.heap[idx] = self.heap[-1]
+                self.heap.pop()
+                heapq.heapify(self.heap)
+            heapq.heappush(self.heap, (freq, data))
+            if len(self.heap) > self.k:
+                heapq.heappop(self.heap)
+
+    def values(self) -> list[tuple[bytes, int]]:
+        """Top-k as (element, count), count desc then element asc."""
+        return sorted(((e, f) for f, e in self.heap),
+                      key=lambda t: (-t[1], t[0]))
+
+
+# ---------------------------------------------------------------------------
+# distributed (two-phase) pieces
+# ---------------------------------------------------------------------------
+
+
+def partial_from_counter(counter: Counter, k: int, slack: int,
+                         d: int, w: int) -> tuple[np.ndarray, int, dict[bytes, int]]:
+    """Build a partition-local partial: CMS over the exact counts plus
+    the top k·slack elements by exact local count as candidates."""
+    matrix = cms.new_state(d, w)
+    elems = list(counter.keys())
+    counts = np.fromiter(counter.values(), dtype=np.uint64, count=len(elems))
+    if elems:
+        h1, h2 = hashing.hash_bytes_batch(elems, "metro")
+        cms.update_batch(matrix, h1, h2, counts)
+    top = counter.most_common(k * slack)
+    return matrix, int(counts.sum()), dict(top)
+
+
+def merge_candidates(a: dict[bytes, int], b: dict[bytes, int]) -> dict[bytes, int]:
+    out = dict(a)
+    for e, c in b.items():
+        out[e] = out.get(e, 0) + c
+    return out
+
+
+def final_values(matrix: np.ndarray, candidates: dict[bytes, int], k: int,
+                 exact: bool = False) -> list[tuple[bytes, int]]:
+    """Re-estimate every candidate against the merged CMS (reference
+    heap stores CMS estimates, not exact counts) and keep the top k,
+    sorted (count desc, element asc) per ``top_k.go:116-134``.
+
+    With ``exact=True`` the summed exact candidate counts are used
+    instead — valid when the candidate slack guarantees the true top-k
+    is contained (e.g. candidates = all distinct elements).
+    """
+    if not candidates:
+        return []
+    elems = list(candidates.keys())
+    if exact:
+        freqs = np.fromiter(candidates.values(), dtype=np.int64, count=len(elems))
+    else:
+        h1, h2 = hashing.hash_bytes_batch(elems, "metro")
+        freqs = cms.query_batch(matrix, h1, h2).astype(np.int64)
+    order = sorted(range(len(elems)), key=lambda i: (-int(freqs[i]), elems[i]))
+    return [(elems[i], int(freqs[i])) for i in order[:k]]

@@ -1,0 +1,334 @@
+"""Kernel unit tests: reference test-vector replay + error-bound gates
+(SURVEY.md §5.2). File:line citations point at the reference test each
+case replays."""
+
+import math
+
+import numpy as np
+import pytest
+
+from gostatix_spark import hashing as H
+from gostatix_spark import params
+from gostatix_spark.kernels import bloom, cms, cuckoo, hll, topk
+
+
+def _metro(items):
+    return H.hash_bytes_batch([i if isinstance(i, bytes) else i.encode() for i in items], "metro")
+
+
+# ---------------------------------------------------------------------------
+# Bloom — replays bloom_filter_test.go:19-42, 68-91, 93-118, 133-180
+# ---------------------------------------------------------------------------
+
+
+class TestBloom:
+    def test_membership_names(self):
+        n, eps = 1000, 0.01
+        m = params.bloom_filter_size(n, eps)
+        k = params.bloom_num_hashes(m, n)
+        words = bloom.new_state(m)
+        h1, h2 = _metro(["John", "Jane"])
+        bloom.insert_batch(words, h1, h2, k, m)
+        h1, h2 = _metro(["John", "Jane", "Alice", "Bob"])
+        got = bloom.lookup_batch(words, h1, h2, k, m)
+        assert got[0] and got[1]          # no false negatives, ever
+        assert not got[2] and not got[3]  # (w.h.p. at this sizing)
+
+    def test_membership_uint32_be(self):
+        # bloom_filter_test.go:68-91 — elements as big-endian uint32
+        m, k = 1000, 4
+        words = bloom.new_state(m)
+        toks = np.array([100, 101, 102], dtype=np.int32)
+        h1, h2 = H.hash_tokens(toks, "metro")
+        bloom.insert_batch(words, h1, h2, k, m)
+        probe = np.array([100, 101, 102, 103, 104], dtype=np.int32)
+        h1, h2 = H.hash_tokens(probe, "metro")
+        got = bloom.lookup_batch(words, h1, h2, k, m)
+        assert got[:3].all() and not got[3:].any()
+
+    @pytest.mark.parametrize("n,eps", [(1000, 0.1), (1000, 0.01),
+                                       (10000, 0.01), (10000, 0.001)])
+    def test_fpr_grid(self, n, eps):
+        # mirrors bloom_filter_test.go:133-180: observed FPR ≤ 1.1·ε
+        m = params.bloom_filter_size(n, eps)
+        k = params.bloom_num_hashes(m, n)
+        words = bloom.new_state(m)
+        ins = np.arange(n, dtype=np.int32)
+        h1, h2 = H.hash_tokens(ins, "metro")
+        bloom.insert_batch(words, h1, h2, k, m)
+        probe = np.arange(n, n + 20000, dtype=np.int32)  # disjoint
+        h1, h2 = H.hash_tokens(probe, "metro")
+        fpr = bloom.lookup_batch(words, h1, h2, k, m).mean()
+        assert fpr <= 1.1 * eps + 3 * math.sqrt(eps / 20000)
+
+    def test_merge_or_laws(self):
+        m, k = 2048, 5
+        streams = [np.arange(i * 100, i * 100 + 100, dtype=np.int32) for i in range(3)]
+        parts = []
+        for s in streams:
+            w = bloom.new_state(m)
+            h1, h2 = H.hash_tokens(s, "metro")
+            bloom.insert_batch(w, h1, h2, k, m)
+            parts.append(w)
+        whole = bloom.new_state(m)
+        h1, h2 = H.hash_tokens(np.concatenate(streams), "metro")
+        bloom.insert_batch(whole, h1, h2, k, m)
+        a, b, c = parts
+        assert np.array_equal(bloom.merge(bloom.merge(a, b), c),
+                              bloom.merge(a, bloom.merge(b, c)))
+        assert np.array_equal(bloom.merge(a, b), bloom.merge(b, a))
+        assert np.array_equal(bloom.merge(a, a), a)  # idempotent
+        assert np.array_equal(bloom.merge(bloom.merge(a, b), c), whole)
+
+    def test_positive_rate_formula(self):
+        m, k = 1000, 4
+        words = bloom.new_state(m)
+        h1, h2 = H.hash_tokens(np.arange(50, dtype=np.int32), "metro")
+        bloom.insert_batch(words, h1, h2, k, m)
+        bits = bloom.bit_count(words)
+        assert bloom.positive_rate(words, k, m) == pytest.approx(
+            (1 - math.exp(-bits / m)) ** k)
+
+
+# ---------------------------------------------------------------------------
+# CMS — replays count_min_sketch_test.go:13-33, 35-68, 70-89
+# ---------------------------------------------------------------------------
+
+
+class TestCMS:
+    def test_exact_counts_tiny(self):
+        d, w = params.cms_dims_from_estimates(0.001, 0.999)  # reference quirk: d=1
+        assert d == 1 and w == 2719
+        mat = cms.new_state(d, w)
+        h1, h2 = _metro(["foo", "bar", "foo"])
+        cms.update_batch(mat, h1, h2)
+        h1, h2 = _metro(["foo", "bar", "baz"])
+        got = cms.query_batch(mat, h1, h2)
+        assert got.tolist() == [2, 1, 0]
+
+    def test_merge_adds(self):
+        d, w = 5, 2719
+        a, b = cms.new_state(d, w), cms.new_state(d, w)
+        h1, h2 = _metro(["foo", "bar", "foo", "baz"])
+        cms.update_batch(a, h1, h2)
+        h1, h2 = _metro(["foo", "foo", "baz"])
+        cms.update_batch(b, h1, h2)
+        merged = cms.merge(a, b)
+        h1, h2 = _metro(["foo", "bar", "baz", "faz"])
+        assert cms.query_batch(merged, h1, h2).tolist() == [4, 1, 2, 0]
+
+    def test_merge_dim_mismatch(self):
+        with pytest.raises(ValueError):
+            cms.merge(cms.new_state(2, 10), cms.new_state(3, 10))
+
+    def test_merge_laws(self):
+        d, w = 4, 271
+        rng = np.random.default_rng(7)
+        mats = []
+        for _ in range(3):
+            m_ = cms.new_state(d, w)
+            toks = rng.integers(0, 500, size=1000).astype(np.int32)
+            h1, h2 = H.hash_tokens(toks, "metro")
+            cms.update_batch(m_, h1, h2)
+            mats.append(m_)
+        a, b, c = mats
+        assert np.array_equal(cms.merge(cms.merge(a, b), c),
+                              cms.merge(a, cms.merge(b, c)))
+        assert np.array_equal(cms.merge(a, b), cms.merge(b, a))
+
+    def test_eps_n_bound(self):
+        # standard parameterization: err ≤ ε·N w.p. ≥ 1−δ (SURVEY.md §1.6.4)
+        eps, delta = 0.001, 0.01
+        d, w = params.cms_dims_from_error_bounds(eps, delta)
+        mat = cms.new_state(d, w)
+        rng = np.random.default_rng(11)
+        toks = (rng.zipf(1.3, size=100_000) % 50_000).astype(np.int32)
+        h1, h2 = H.hash_tokens(toks, "metro")
+        n_total = cms.update_batch(mat, h1, h2)
+        uniq, exact = np.unique(toks, return_counts=True)
+        h1, h2 = H.hash_tokens(uniq.astype(np.int32), "metro")
+        est = cms.query_batch(mat, h1, h2).astype(np.int64)
+        err = est - exact  # CMS never underestimates
+        assert (err >= 0).all()
+        frac_ok = (err <= eps * n_total).mean()
+        assert frac_ok >= 1 - delta
+
+
+# ---------------------------------------------------------------------------
+# HLL — merge law replays hyperloglog_test.go:27-46; estimates use the
+# standard mapping (documented divergence, SURVEY.md §1.6.1) gated on
+# the published bound 3·1.04/√m
+# ---------------------------------------------------------------------------
+
+
+class TestHLL:
+    def test_pow2_required(self):
+        with pytest.raises(ValueError):
+            hll.new_state(100)
+
+    def test_merge_is_registerwise_max(self):
+        a, b = hll.new_state(16), hll.new_state(16)
+        h1, _ = _metro(["foo", "bar"])
+        hll.update_batch(a, h1)
+        h1, _ = _metro(["abc", "xyz"])
+        hll.update_batch(b, h1)
+        merged = hll.merge(a, b)
+        assert np.array_equal(merged, np.maximum(a, b))
+        # idempotent + commutative + associative
+        assert np.array_equal(hll.merge(a, a), a)
+        assert np.array_equal(hll.merge(a, b), hll.merge(b, a))
+        c = hll.new_state(16)
+        assert np.array_equal(hll.merge(hll.merge(a, b), c),
+                              hll.merge(a, hll.merge(b, c)))
+
+    def test_merge_size_mismatch(self):
+        with pytest.raises(ValueError):
+            hll.merge(hll.new_state(16), hll.new_state(32))
+
+    @pytest.mark.parametrize("n,m", [(1000, 1024), (100_000, 16384)])
+    def test_cardinality_bound(self, n, m):
+        reg = hll.new_state(m)
+        toks = np.arange(n, dtype=np.int32)
+        h1, _ = H.hash_tokens(toks, "metro")
+        hll.update_batch(reg, h1)
+        est = hll.count(reg)
+        rel_err = abs(est - n) / n
+        assert rel_err <= 3 * params.hll_accuracy(m), (est, n)
+
+    def test_count_matches_fold_of_parts(self):
+        # sketch(whole) == fold(sketch(parts)) — the global invariant
+        m = 4096
+        toks = np.arange(50_000, dtype=np.int32)
+        whole = hll.new_state(m)
+        h1, _ = H.hash_tokens(toks, "metro")
+        hll.update_batch(whole, h1)
+        acc = hll.new_state(m)
+        for part in np.array_split(toks, 7):
+            p = hll.new_state(m)
+            h1, _ = H.hash_tokens(part.astype(np.int32), "metro")
+            hll.update_batch(p, h1)
+            acc = hll.merge(acc, p)
+        assert np.array_equal(acc, whole)
+
+
+# ---------------------------------------------------------------------------
+# Top-K — replays top_k_test.go:12-130 (fruit corpus, stream-vs-batch)
+# ---------------------------------------------------------------------------
+
+FRUIT_STREAM = (
+    ["apple"] * 6 + ["banana"] * 5 + ["cherry"] * 5 + ["date"] * 4
+    + ["elderberry"] * 4 + ["fig"] * 3 + ["grape"] * 2 + ["orange"] * 1 + ["kiwi"] * 1
+)
+
+
+class TestTopK:
+    def _expected(self, k):
+        from collections import Counter
+        c = Counter(FRUIT_STREAM)
+        return sorted(((e.encode(), n) for e, n in c.items()),
+                      key=lambda t: (-t[1], t[0]))[:k]
+
+    @pytest.mark.parametrize("k", [15, 3])
+    def test_stream_matches_exact(self, k):
+        d, w = params.cms_dims_from_estimates(0.001, 0.999)
+        t = topk.TopKStream(k, d, w)
+        for e in FRUIT_STREAM:
+            t.insert(e.encode(), 1)
+        assert t.values() == self._expected(k)
+
+    def test_stream_vs_batch_counts(self):
+        # top_k_test.go:60-90: single inserts == batched counts
+        from collections import Counter
+        d, w = params.cms_dims_from_estimates(0.001, 0.999)
+        t1 = topk.TopKStream(10, d, w)
+        for e in FRUIT_STREAM:
+            t1.insert(e.encode(), 1)
+        t2 = topk.TopKStream(10, d, w)
+        for e, n in Counter(FRUIT_STREAM).items():
+            t2.insert(e.encode(), n)
+        assert t1.values() == t2.values()
+
+    def test_distributed_two_phase(self):
+        from collections import Counter
+        d, w = params.cms_dims_from_estimates(0.0001, 0.999)
+        k, slack = 5, 3
+        parts = [FRUIT_STREAM[:10], FRUIT_STREAM[10:20], FRUIT_STREAM[20:]]
+        merged_mat = cms.new_state(d, w)
+        cands: dict[bytes, int] = {}
+        for p in parts:
+            mat, _, cand = topk.partial_from_counter(
+                Counter(e.encode() for e in p), k, slack, d, w)
+            merged_mat = cms.merge(merged_mat, mat)
+            cands = topk.merge_candidates(cands, cand)
+        got = topk.final_values(merged_mat, cands, k)
+        assert got == self._expected(k)
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo — replays cuckoo_filter_test.go:11-229
+# ---------------------------------------------------------------------------
+
+
+class TestCuckoo:
+    def test_insert_lookup_length(self):
+        f = cuckoo.CuckooFilter(size=10, bucket_size=1, fp_len=1, seed=1)
+        for w in (b"john", b"jane"):
+            f.insert(w)
+        assert f.length == 2
+        assert f.lookup(b"john") and f.lookup(b"jane")
+        assert not f.lookup(b"joe")
+
+    def test_remove(self):
+        f = cuckoo.CuckooFilter(size=16, bucket_size=2, fp_len=2, seed=1)
+        f.insert(b"foo")
+        f.insert(b"bar")
+        assert f.remove(b"foo")
+        assert not f.remove(b"foo")  # already gone
+        assert f.lookup(b"bar")
+        assert f.length == 1
+
+    def test_full_raises_and_rollback(self):
+        # tiny filter: size 1, bucket 1 — second distinct insert must kick
+        # forever and raise; non-destructive leaves state intact
+        f = cuckoo.CuckooFilter(size=1, bucket_size=1, fp_len=2, retries=5, seed=1)
+        f.insert(b"one")
+        before = f.buckets.copy()
+        with pytest.raises(cuckoo.FilterFullError):
+            f.insert(b"two", destructive=False)
+        assert np.array_equal(f.buckets, before)  # rollback restored state
+        assert f.lookup(b"one")
+
+    def test_destructive_full_mutates(self):
+        f = cuckoo.CuckooFilter(size=1, bucket_size=1, fp_len=2, retries=3, seed=1)
+        f.insert(b"one")
+        before = f.buckets.copy()
+        with pytest.raises(cuckoo.FilterFullError):
+            f.insert(b"two", destructive=True)
+        assert not np.array_equal(f.buckets, before)
+
+    def test_bulk_matches_scalar_membership(self):
+        size = params.next_power_of_two(2000)
+        fpl = params.cuckoo_fingerprint_length(size, 0.001)
+        ids = np.arange(1500, dtype=np.int64)
+        h1, _ = H.hash_int64s(ids, "murmur3")
+        fbulk = cuckoo.CuckooFilter(size, 4, fpl, seed=3)
+        fbulk.bulk_insert_hashes(h1)
+        assert fbulk.length == 1500
+        # every inserted element must be found (no false negatives)
+        assert fbulk.lookup_hashes(h1).all()
+        # scalar path agrees with the vectorized probe
+        for i in (0, 7, 1499):
+            assert fbulk.lookup(int(ids[i]).to_bytes(8, "big", signed=True))
+
+    def test_xor_partner_involutive_pow2(self):
+        size, fpl = 1024, 2
+        h1 = np.array([123456789012345, 987654321], dtype=np.uint64)
+        fp, i1, i2 = cuckoo.fingerprints_and_indices(h1, fpl, size)
+        for j in range(len(h1)):
+            ph = cuckoo._fp_partner_hash(int(fp[j]), fpl)
+            back = (int(i2[j]) ^ ph) % size
+            assert back == int(i1[j])
+
+    def test_positive_rate(self):
+        f = cuckoo.CuckooFilter(size=64, bucket_size=4, fp_len=2)
+        assert f.positive_rate() == pytest.approx(2 ** (math.log2(8) - 2))

@@ -1,0 +1,81 @@
+"""Codec round-trips + reference golden vectors (SURVEY.md §5.1.3)."""
+
+import numpy as np
+
+from gostatix_spark import hashing as H
+from gostatix_spark import state
+from gostatix_spark.kernels import bloom, cms, hll
+
+
+def test_bitset_golden_json():
+    # bitset_mem_test.go:57-70: bits {1,5,8} (auto-grown to 9 bits) →
+    # "AAAAAAAAAAkAAAAAAAABIg=="
+    words = np.zeros(1, dtype=np.uint64)
+    for b in (1, 5, 8):
+        words[0] |= np.uint64(1) << np.uint64(b)
+    assert state.bitset_marshal_json(words, 9) == '"AAAAAAAAAAkAAAAAAAABIg=="'
+    # import golden: bitset_mem_test.go:72-88
+    nbits, w2 = state.bitset_unmarshal_json('"AAAAAAAAAAYAAAAAAAABIg=="')
+    assert nbits == 6
+    for b, want in [(0, False), (1, True), (5, True), (7, False)]:
+        assert bool((w2[0] >> np.uint64(b)) & np.uint64(1)) == want
+
+
+def _roundtrip(s):
+    return type(s).from_bytes(s.to_bytes())
+
+
+def test_bloom_roundtrip_preserves_queries():
+    m, k = 2048, 5
+    words = bloom.new_state(m)
+    h1, h2 = H.hash_tokens(np.arange(100, dtype=np.int32), "metro")
+    bloom.insert_batch(words, h1, h2, k, m)
+    s = state.BloomState(m, k, words, 100)
+    for s2 in (_roundtrip(s), state.BloomState.from_json(s.to_json())):
+        assert s.equals(s2)
+        assert bloom.lookup_batch(s2.words, h1, h2, k, m).all()
+    assert state.kind_of(s.to_bytes()) == "bloom"
+    assert state.sketch_from_bytes(s.to_bytes()).equals(s)
+
+
+def test_hll_roundtrip():
+    reg = hll.new_state(256)
+    h1, _ = H.hash_tokens(np.arange(5000, dtype=np.int32), "metro")
+    hll.update_batch(reg, h1)
+    s = state.HLLState(256, reg, 5000)
+    assert s.equals(_roundtrip(s))
+    assert s.equals(state.HLLState.from_json(s.to_json()))
+    assert hll.count(_roundtrip(s).registers) == hll.count(reg)
+
+
+def test_cms_roundtrip():
+    mat = cms.new_state(3, 271)
+    h1, h2 = H.hash_tokens(np.arange(1000, dtype=np.int32), "metro")
+    total = cms.update_batch(mat, h1, h2)
+    s = state.CMSState(3, 271, mat, total)
+    for s2 in (_roundtrip(s), state.CMSState.from_json(s.to_json())):
+        assert s.equals(s2)
+        assert s2.all_sum == total
+        assert np.array_equal(cms.query_batch(s2.matrix, h1, h2),
+                              cms.query_batch(mat, h1, h2))
+
+
+def test_topk_roundtrip():
+    mat = cms.new_state(2, 100)
+    s = state.TopKState(5, 0.001, 0.999, state.CMSState(2, 100, mat, 7),
+                        {b"apple": 6, b"fig": 3})
+    for s2 in (_roundtrip(s), state.TopKState.from_json(s.to_json())):
+        assert s.equals(s2)
+
+
+def test_cuckoo_roundtrip():
+    from gostatix_spark.kernels.cuckoo import CuckooFilter
+    f = CuckooFilter(size=16, bucket_size=2, fp_len=2, seed=5)
+    for w in (b"foo", b"bar", b"baz"):
+        f.insert(w)
+    s = state.CuckooState(16, 2, 2, 500, f.length, f.buckets)
+    for s2 in (_roundtrip(s), state.CuckooState.from_json(s.to_json())):
+        assert s.equals(s2)
+        assert s2.length == 3
+        f2 = CuckooFilter(16, 2, 2, buckets=s2.buckets, length=s2.length)
+        assert f2.lookup(b"foo") and f2.lookup(b"bar") and f2.lookup(b"baz")
