@@ -1,0 +1,559 @@
+"""Two-phase distributed sketch aggregation — the heart of the library.
+
+Topology (SURVEY.md §3, §4.2):
+
+* **Phase 1 (partial)** — ``DataFrame.mapInArrow``: each input partition
+  streams through as Arrow record batches; a numpy kernel folds every
+  batch into a per-(partition, key) sketch state. Output: ONE tiny row
+  per partition per key ``(key, state binary, n_items, partition_id,
+  rows_consumed)``. This is map-side combine: whatever the row/key skew
+  of the input, the shuffle that follows carries only
+  ``O(num_partitions × num_keys)`` sketch-sized rows — skew-immune by
+  construction.
+* **Phase 2 (merge)** — ``groupBy(key).applyInPandas``: decode partial
+  states, fold with the sketch's merge law (max for HLL, add for CMS,
+  OR for Bloom; proven associative/commutative in tests), emit one row
+  per key. For very wide fan-in an optional intermediate tree level
+  merges ``partition_id % tree_fanout`` groups first — merge
+  associativity makes the tree shape irrelevant to the result.
+
+The cuckoo filter is NOT mergeable (order-dependent kick loop,
+``cuckoo_filter.go:74-115``) — see :func:`cuckoo_build`: phase 1 only
+*hashes* elements (pure, parallel, vectorized), then elements shuffle to
+their (key, shard) and a single task per shard runs the sequential
+kernel. Sharding is the scale path: membership routes to the owning
+shard by the same hash, so N shards build and probe in parallel.
+
+Element extraction is Arrow-native: list columns are flattened via
+offset arithmetic (zero-copy), strings/binaries hashed through
+length-grouped fixed-width matrices. No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from gostatix_spark import hashing, params
+from gostatix_spark.kernels import bloom, cms, cuckoo, hll, topk
+from gostatix_spark.state import (BloomState, CMSState, CuckooState, HLLState,
+                                  TopKState, sketch_from_bytes)
+
+__all__ = ["sketch_agg", "cuckoo_build", "merge_sketch_states"]
+
+
+# ---------------------------------------------------------------------------
+# Arrow extraction helpers
+# ---------------------------------------------------------------------------
+
+
+def _arrow_var_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 values, int64 offsets) for a string/binary Arrow array."""
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.binary())
+    elif pa.types.is_string(arr.type):
+        arr = arr.cast(pa.binary())
+    # null-free assumption: sketch inputs are filtered upstream
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    values = (np.frombuffer(data_buf, dtype=np.uint8)
+              if data_buf is not None else np.zeros(0, np.uint8))
+    return values, offsets
+
+
+def _arrow_list_ints(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int values, int64 offsets) for a list<int> Arrow array."""
+    lengths = pa.compute.list_value_length(arr).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    values = arr.flatten().to_numpy(zero_copy_only=False)
+    return values, offsets
+
+
+def extract_hashes(arr: pa.Array, element: str, algo: str):
+    """Hash every element of an Arrow column under the canonical
+    encodings (SURVEY.md §1.1). Returns (h1, h2, row_of_element) where
+    ``row_of_element`` maps each hashed element back to its source row
+    (identity except for ``element='tokens'`` which flattens arrays)."""
+    n = len(arr)
+    ident = None  # identity row map
+    if element == "tokens":
+        values, offsets = _arrow_list_ints(arr)
+        h1, h2 = hashing.hash_tokens(values.astype(np.int64), algo)
+        row = np.repeat(np.arange(n), np.diff(offsets))
+        return h1, h2, row
+    if element == "token_array":
+        values, offsets = _arrow_list_ints(arr)
+        h1, h2 = hashing.hash_token_arrays(values.astype(np.int64), offsets, algo)
+        return h1, h2, ident
+    if element == "int64":
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        h1, h2 = hashing.hash_int64s(vals, algo)
+        return h1, h2, ident
+    if element == "int32":
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        h1, h2 = hashing.hash_tokens(vals, algo)
+        return h1, h2, ident
+    if element in ("string", "binary"):
+        values, offsets = _arrow_var_bytes(arr)
+        h1, h2 = hashing.hash_var_bytes(values, offsets, algo)
+        return h1, h2, ident
+    raise ValueError(f"unknown element kind {element!r}")
+
+
+def element_values(arr: pa.Array, element: str):
+    """Raw element values for exact counting (Top-K candidates): a flat
+    int numpy array for int-like kinds (vectorized ``np.unique``
+    counting), else the canonical per-row byte encodings."""
+    if element == "tokens":
+        values, _ = _arrow_list_ints(arr)
+        return values.astype(np.int64)
+    if element in ("int32", "int64"):
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    return element_bytes(arr, element)
+
+
+def encode_candidate(key, element: str) -> bytes:
+    """Canonical byte encoding of a counted candidate — must match the
+    hashing encodings so merged-CMS re-queries hit the same cells."""
+    if element in ("tokens", "int32"):
+        return (int(key) & 0xFFFFFFFF).to_bytes(4, "big")
+    if element == "int64":
+        return int(key).to_bytes(8, "big", signed=True)
+    return key  # already bytes
+
+
+def element_bytes(arr: pa.Array, element: str) -> list[bytes]:
+    """Canonical byte encoding of each row's element (row-level kinds
+    only) — used by Top-K candidates and driver-side probes."""
+    if element == "int64":
+        vals = arr.to_numpy(zero_copy_only=False).astype(">i8")
+        b = vals.tobytes()
+        return [b[i * 8:(i + 1) * 8] for i in range(len(vals))]
+    if element == "int32":
+        vals = arr.to_numpy(zero_copy_only=False).astype(">i4")
+        b = vals.tobytes()
+        return [b[i * 4:(i + 1) * 4] for i in range(len(vals))]
+    if element in ("string", "binary"):
+        values, offsets = _arrow_var_bytes(arr)
+        buf = values.tobytes()
+        return [buf[offsets[i]:offsets[i + 1]] for i in range(len(arr))]
+    if element == "token_array":
+        values, offsets = _arrow_list_ints(arr)
+        b = values.astype(">u4").tobytes()
+        return [b[offsets[i] * 4:offsets[i + 1] * 4] for i in range(len(arr))]
+    raise ValueError(f"element kind {element!r} has no row-level bytes")
+
+
+def infer_element(df: DataFrame, value_col: str, element: str | None) -> str:
+    if element is not None:
+        return element
+    dt = dict(df.dtypes)[value_col]
+    if dt.startswith("array<"):
+        return "tokens"
+    if dt in ("bigint", "long"):
+        return "int64"
+    if dt == "int":
+        return "int32"
+    if dt == "string":
+        return "string"
+    if dt == "binary":
+        return "binary"
+    raise ValueError(f"cannot infer element kind for column type {dt}")
+
+
+# ---------------------------------------------------------------------------
+# sketch specs
+# ---------------------------------------------------------------------------
+
+
+class _Spec:
+    """Per-kind plumbing: init/update/final for phase 1, merge for phase 2."""
+
+    def __init__(self, kind: str, algo: str, p: dict):
+        self.kind = kind
+        self.algo = algo
+        self.p = p
+
+    @staticmethod
+    def make(kind: str, **p) -> "_Spec":
+        if kind == "hll":
+            m = p.get("m", 16384)
+            if not params.is_power_of_two(m):
+                raise ValueError("hll m must be a power of two")
+            return _Spec(kind, "metro", {"m": m})
+        if kind == "cms":
+            if "d" in p:
+                d, w = p["d"], p["w"]
+            elif "fail_prob" in p:
+                d, w = params.cms_dims_from_error_bounds(p.get("eps", 0.001),
+                                                         p["fail_prob"])
+            else:
+                d, w = params.cms_dims_from_estimates(p.get("eps", 0.001),
+                                                      p.get("delta", 0.999))
+            return _Spec(kind, "metro", {"d": d, "w": w})
+        if kind == "bloom":
+            if "m" in p:
+                m, k = p["m"], p["k"]
+            else:
+                m = params.bloom_filter_size(p["n"], p.get("eps", 0.01))
+                k = params.bloom_num_hashes(m, p["n"])
+            return _Spec(kind, "metro", {"m": m, "k": k})
+        if kind == "topk":
+            d, w = params.cms_dims_from_error_bounds(p.get("eps", 0.0001),
+                                                     p.get("fail_prob", 0.01))
+            return _Spec(kind, "metro", {"k": p.get("k", 10), "d": d, "w": w,
+                                         "slack": p.get("slack", 4),
+                                         "eps": p.get("eps", 0.0001),
+                                         "fail_prob": p.get("fail_prob", 0.01)})
+        raise ValueError(f"sketch_agg does not handle kind {kind!r}"
+                         " (use cuckoo_build for cuckoo)")
+
+    # -- phase 1 ---------------------------------------------------------
+
+    def init(self):
+        p = self.p
+        if self.kind == "hll":
+            return [hll.new_state(p["m"]), 0]
+        if self.kind == "cms":
+            return [cms.new_state(p["d"], p["w"]), 0]
+        if self.kind == "bloom":
+            return [bloom.new_state(p["m"]), 0]
+        if self.kind == "topk":
+            return [Counter(), 0]
+
+    element: str = "string"  # set by _build_partials before use
+
+    def update(self, acc, h1, h2, elems=None):
+        p = self.p
+        if self.kind == "hll":
+            hll.update_batch(acc[0], h1)
+            acc[1] += len(h1)
+        elif self.kind == "cms":
+            acc[1] += cms.update_batch(acc[0], h1, h2)
+        elif self.kind == "bloom":
+            bloom.insert_batch(acc[0], h1, h2, p["k"], p["m"])
+            acc[1] += len(h1)
+        elif self.kind == "topk":
+            if isinstance(elems, np.ndarray):
+                uniq, cnts = np.unique(elems, return_counts=True)
+                c = acc[0]
+                for u, n in zip(uniq.tolist(), cnts.tolist()):
+                    c[u] += n
+            else:
+                acc[0].update(elems)
+            acc[1] += len(elems)
+
+    def finalize(self, acc) -> tuple[bytes, int]:
+        p = self.p
+        if self.kind == "hll":
+            return HLLState(p["m"], acc[0], acc[1]).to_bytes(), acc[1]
+        if self.kind == "cms":
+            return CMSState(p["d"], p["w"], acc[0], acc[1]).to_bytes(), acc[1]
+        if self.kind == "bloom":
+            return BloomState(p["m"], p["k"], acc[0], acc[1]).to_bytes(), acc[1]
+        if self.kind == "topk":
+            counter = Counter({encode_candidate(e, self.element): n
+                               for e, n in acc[0].items()})
+            mat, total, cand = topk.partial_from_counter(
+                counter, p["k"], p["slack"], p["d"], p["w"])
+            st = TopKState(p["k"], p["eps"], p["fail_prob"],
+                           CMSState(p["d"], p["w"], mat, total), cand)
+            return st.to_bytes(), acc[1]
+
+    def needs_elements(self) -> bool:
+        return self.kind == "topk"
+
+
+def merge_sketch_states(blobs) -> bytes:
+    """Fold a sequence of serialized sketch states with the kind's merge
+    law. Works for any mix produced by the same spec; used by phase 2
+    and by checkpoint resume."""
+    states = [sketch_from_bytes(b) for b in blobs]
+    head = states[0]
+    if isinstance(head, HLLState):
+        reg = head.registers
+        n = head.n_items
+        for s in states[1:]:
+            reg = hll.merge(reg, s.registers)
+            n += s.n_items
+        return HLLState(head.m, reg, n).to_bytes()
+    if isinstance(head, CMSState):
+        mat = head.matrix
+        tot = head.all_sum
+        for s in states[1:]:
+            mat = cms.merge(mat, s.matrix)
+            tot += s.all_sum
+        return CMSState(head.d, head.w, mat, tot).to_bytes()
+    if isinstance(head, BloomState):
+        w = head.words
+        n = head.n_items
+        for s in states[1:]:
+            w = bloom.merge(w, s.words)
+            n += s.n_items
+        return BloomState(head.m, head.k, w, n).to_bytes()
+    if isinstance(head, TopKState):
+        mat = head.cms.matrix
+        tot = head.cms.all_sum
+        cand = dict(head.candidates)
+        for s in states[1:]:
+            mat = cms.merge(mat, s.cms.matrix)
+            tot += s.cms.all_sum
+            cand = topk.merge_candidates(cand, s.candidates)
+        return TopKState(head.k, head.error_rate, head.accuracy,
+                         CMSState(head.cms.d, head.cms.w, mat, tot),
+                         cand).to_bytes()
+    raise TypeError(f"cannot merge {type(head).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# phase 1: mapInArrow partial builder
+# ---------------------------------------------------------------------------
+
+
+def _partial_schema(df: DataFrame, key_col: str | None) -> StructType:
+    fields = []
+    if key_col:
+        fields.append(df.schema[key_col])
+    fields += [StructField("state", BinaryType(), False),
+               StructField("n_items", LongType(), False),
+               StructField("partition_id", IntegerType(), False),
+               StructField("rows_consumed", LongType(), False)]
+    return StructType(fields)
+
+
+def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
+                    key_col: str | None, element: str) -> DataFrame:
+    out_schema = _partial_schema(df, key_col)
+    cols = ([key_col] if key_col else []) + [value_col]
+    algo = spec.algo
+    spec.element = element
+    needs_elems = spec.needs_elements()
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        accs: dict = {}
+        rows_by_key: dict = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            varr = batch.column(value_col)
+            if needs_elems:
+                # Top-K counts exact values; the CMS is built from the
+                # counter at finalize — no per-element hashing here
+                elems = element_values(varr, element)
+                if element == "tokens":
+                    _, offsets = _arrow_list_ints(varr)
+                    rowmap = np.repeat(np.arange(batch.num_rows),
+                                       np.diff(offsets))
+                else:
+                    rowmap = None
+                h1 = h2 = np.zeros(len(elems), dtype=np.uint64)
+            else:
+                h1, h2, rowmap = extract_hashes(varr, element, algo)
+                elems = None
+            if key_col is None:
+                acc = accs.setdefault(None, spec.init())
+                spec.update(acc, h1, h2, elems)
+                rows_by_key[None] = rows_by_key.get(None, 0) + batch.num_rows
+            else:
+                keys = batch.column(key_col).to_pandas()
+                codes, uniques = pd.factorize(keys, sort=False)
+                ecodes = codes if rowmap is None else codes[rowmap]
+                order = np.argsort(ecodes, kind="stable")
+                bounds = np.searchsorted(ecodes[order], np.arange(len(uniques)))
+                bounds = np.append(bounds, len(ecodes))
+                for g, key in enumerate(uniques):
+                    sel = order[bounds[g]:bounds[g + 1]]
+                    acc = accs.setdefault(key, spec.init())
+                    if needs_elems:
+                        grp = (elems[sel] if isinstance(elems, np.ndarray)
+                               else [elems[i] for i in sel])
+                    else:
+                        grp = None
+                    spec.update(acc, h1[sel], h2[sel], grp)
+                    rows_by_key[key] = rows_by_key.get(key, 0) + int(
+                        (codes == g).sum())
+        if accs:
+            out_rows = []
+            for key, acc in accs.items():
+                blob, n_items = spec.finalize(acc)
+                row = {"state": blob, "n_items": n_items,
+                       "partition_id": pid, "rows_consumed": rows_by_key[key]}
+                if key_col:
+                    row[key_col] = key
+                out_rows.append(row)
+            yield from pa.Table.from_pylist(
+                out_rows, schema=_to_arrow_schema(out_schema)).to_batches()
+
+    return df.select(*cols).mapInArrow(fn, out_schema)
+
+
+def _to_arrow_schema(st: StructType) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+    return to_arrow_schema(st)
+
+
+# ---------------------------------------------------------------------------
+# phase 2: tree merge
+# ---------------------------------------------------------------------------
+
+
+def _merge_partials(partials: DataFrame, key_col: str | None,
+                    tree_fanout: int | None) -> DataFrame:
+    key_cols = [key_col] if key_col else []
+    out_fields = ([partials.schema[key_col]] if key_col else []) + [
+        StructField("state", BinaryType(), False),
+        StructField("n_items", LongType(), False),
+        StructField("n_partials", LongType(), False),
+    ]
+    out_schema = StructType(out_fields)
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = merge_sketch_states(pdf["state"].tolist())
+        row = {"state": blob, "n_items": int(pdf["n_items"].sum()),
+               "n_partials": int(pdf["n_partials"].sum()
+                                 if "n_partials" in pdf else len(pdf))}
+        for kc in key_cols:
+            row[kc] = pdf[kc].iloc[0]
+        return pd.DataFrame([row])
+
+    if tree_fanout:
+        # intermediate level: merge within (key, partition_id % fanout)
+        inter_schema = StructType(list(out_schema.fields)
+                                  + [StructField("_salt", IntegerType(), False)])
+
+        def inter_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = merge_fn(pdf)
+            out["_salt"] = pdf["_salt"].iloc[0]
+            return out
+
+        salted = partials.withColumn(
+            "_salt", (F.col("partition_id") % tree_fanout).cast("int"))
+        level1 = salted.groupBy(*key_cols, "_salt").applyInPandas(
+            inter_fn, inter_schema)
+        partials = level1
+
+    if key_cols:
+        return partials.groupBy(*key_cols).applyInPandas(merge_fn, out_schema)
+
+    def merge_fn_g(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = merge_fn(pdf)
+        out["_g"] = 1
+        return out
+
+    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        merge_fn_g, StructType([StructField("_g", IntegerType(), False)]
+                               + list(out_schema.fields))).drop("_g")
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def sketch_agg(df: DataFrame, kind: str, value_col: str, *,
+               key_col: str | None = None, element: str | None = None,
+               tree_fanout: int | None = None,
+               _return_partials: bool = False, **sketch_params) -> DataFrame:
+    """Build one mergeable sketch per key over ``df[value_col]``.
+
+    Returns ``DataFrame[key?, state binary, n_items, n_partials]``.
+
+    kinds: ``hll`` (m), ``cms`` (d,w | eps,delta | eps,fail_prob),
+    ``bloom`` (m,k | n,eps), ``topk`` (k, eps, fail_prob, slack).
+    element kinds: ``tokens`` (flatten array<int>), ``token_array``
+    (whole array per row), ``int32``/``int64``/``string``/``binary``
+    (inferred from the column type when omitted).
+    """
+    element = infer_element(df, value_col, element)
+    spec = _Spec.make(kind, **sketch_params)
+    partials = _build_partials(df, spec, value_col, key_col, element)
+    if _return_partials:
+        return partials
+    return _merge_partials(partials, key_col, tree_fanout)
+
+
+def cuckoo_build(df: DataFrame, value_col: str, *,
+                 key_col: str | None = None, element: str | None = None,
+                 size: int | None = None, bucket_size: int = 4,
+                 fp_len: int | None = None, retries: int = 500,
+                 eps: float = 0.001, n_shards: int = 1,
+                 seed: int = 42) -> DataFrame:
+    """Distributed cuckoo-filter build (SURVEY.md §3.3).
+
+    Phase 1 (parallel, vectorized): hash every element. Phase 2: shuffle
+    the 8-byte hashes to their (key, shard) and run the sequential
+    insert kernel once per shard — the kernel itself is numpy-array
+    based. ``n_shards > 1`` splits each key's filter into independent
+    shards by ``h1 % n_shards``; lookups route the same way
+    (:func:`gostatix_spark.query.cuckoo_contains`), so build and probe
+    parallelize across shards. Size is rounded to a power of two so the
+    XOR partner map is involutive (policy SURVEY.md §1.6.5).
+
+    Returns ``DataFrame[key?, shard int, state binary, n_items]``.
+    """
+    element = infer_element(df, value_col, element)
+    if size is None:
+        # size buckets for the incoming row count at 0.955 load
+        n_rows = df.count()
+        per_shard = max(64, int(np.ceil(n_rows / n_shards / bucket_size / 0.955)))
+        size = params.next_power_of_two(per_shard)
+    else:
+        size = params.next_power_of_two(size)
+    if fp_len is None:
+        fp_len = params.cuckoo_fingerprint_length(size, eps)
+
+    key_cols = [key_col] if key_col else []
+    hash_schema = StructType(
+        ([df.schema[key_col]] if key_col else [])
+        + [StructField("h1", LongType(), False),
+           StructField("shard", IntegerType(), False)])
+
+    def hash_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h1, _, rowmap = extract_hashes(batch.column(value_col), element,
+                                           "murmur3")
+            cols = {"h1": pa.array(h1.astype(np.int64)),
+                    "shard": pa.array((h1 % np.uint64(n_shards)).astype(np.int32))}
+            if key_col:
+                karr = batch.column(key_col)
+                if rowmap is not None:
+                    karr = karr.take(pa.array(rowmap))
+                cols[key_col] = karr
+            yield pa.RecordBatch.from_pydict(
+                {f.name: cols[f.name] for f in hash_schema.fields},
+                schema=_to_arrow_schema(hash_schema))
+
+    hashes = df.select(*key_cols, value_col).mapInArrow(hash_fn, hash_schema)
+
+    out_schema = StructType(
+        ([df.schema[key_col]] if key_col else [])
+        + [StructField("shard", IntegerType(), False),
+           StructField("state", BinaryType(), False),
+           StructField("n_items", LongType(), False)])
+
+    def build_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        h1 = pdf["h1"].to_numpy().astype(np.uint64)
+        f = cuckoo.CuckooFilter(size, bucket_size, fp_len, retries, seed=seed)
+        f.bulk_insert_hashes(h1)
+        st = CuckooState(size, bucket_size, fp_len, retries, f.length, f.buckets)
+        row = {"shard": int(pdf["shard"].iloc[0]),
+               "state": st.to_bytes(), "n_items": len(h1)}
+        for kc in key_cols:
+            row[kc] = pdf[kc].iloc[0]
+        return pd.DataFrame([row])
+
+    return hashes.groupBy(*key_cols, "shard").applyInPandas(build_fn, out_schema)

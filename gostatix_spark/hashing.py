@@ -369,31 +369,46 @@ def hash_tokens(tokens: np.ndarray, algo: str = "metro", seed: int | None = None
     return _VEC[algo](tokens_to_bytes_matrix(tokens), seed)
 
 
-def hash_bytes_batch(items, algo: str = "metro", seed: int | None = None):
-    """Hash a sequence of arbitrary ``bytes``. Returns (h1, h2) uint64 arrays.
+def hash_var_bytes(values: np.ndarray, offsets: np.ndarray, algo: str = "metro",
+                   seed: int | None = None):
+    """Hash n variable-length byte strings given as a flat uint8 buffer +
+    Arrow-style (n+1,) offsets. Returns (h1, h2) uint64 arrays.
 
-    Vectorized by grouping items by length: each length group becomes a
-    fixed-width uint8 matrix hashed with the numpy kernel in one shot.
-    Per-row Python is limited to building the concatenation buffer.
+    Vectorized by grouping rows by length: each length group is gathered
+    into a fixed-width uint8 matrix and hashed with the numpy kernel in
+    one shot — no per-row Python.
     """
     if seed is None:
         seed = DEFAULT_SEED[algo]
-    n = len(items)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    starts = offsets[:-1]
     h1 = np.empty(n, dtype=U64)
     h2 = np.empty(n, dtype=U64)
-    lens = np.fromiter((len(b) for b in items), dtype=np.int64, count=n)
     fn = _VEC[algo]
-    for length in np.unique(lens):
-        idx = np.nonzero(lens == length)[0]
-        if length == 0:
+    for ln in np.unique(lens):
+        idx = np.nonzero(lens == ln)[0]
+        if ln == 0:
             mat = np.zeros((len(idx), 0), dtype=np.uint8)
         else:
-            buf = b"".join(items[i] for i in idx)
-            mat = np.frombuffer(buf, dtype=np.uint8).reshape(len(idx), length)
+            mat = values[starts[idx][:, None] + np.arange(ln)[None, :]]
         a, b = fn(mat, seed)
         h1[idx] = a
         h2[idx] = b
     return h1, h2
+
+
+def hash_bytes_batch(items, algo: str = "metro", seed: int | None = None):
+    """Hash a sequence of arbitrary ``bytes``. Returns (h1, h2) uint64 arrays.
+
+    Convenience wrapper over :func:`hash_var_bytes` for python lists.
+    """
+    lens = np.fromiter((len(b) for b in items), dtype=np.int64, count=len(items))
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    buf = b"".join(items)
+    values = np.frombuffer(buf, dtype=np.uint8) if buf else np.zeros(0, np.uint8)
+    return hash_var_bytes(values, offsets, algo, seed)
 
 
 def hash_token_arrays(values: np.ndarray, offsets: np.ndarray, algo: str = "metro",
@@ -404,28 +419,9 @@ def hash_token_arrays(values: np.ndarray, offsets: np.ndarray, algo: str = "metr
     ``values`` is the flattened token stream, ``offsets`` the Arrow-style
     (n+1,) int offsets. Vectorized by grouping documents by n_tok.
     """
-    if seed is None:
-        seed = DEFAULT_SEED[algo]
-    n = len(offsets) - 1
     byte_view = tokens_to_bytes_matrix(values).reshape(-1)  # 4 bytes per token
-    lens = np.diff(offsets)
-    h1 = np.empty(n, dtype=U64)
-    h2 = np.empty(n, dtype=U64)
-    fn = _VEC[algo]
-    starts = offsets[:-1]
-    for ln in np.unique(lens):
-        idx = np.nonzero(lens == ln)[0]
-        if ln == 0:
-            mat = np.zeros((len(idx), 0), dtype=np.uint8)
-        else:
-            # gather each doc's 4*ln bytes: build row index matrix
-            byte_starts = (starts[idx] * 4)[:, None]
-            cols = np.arange(4 * ln)[None, :]
-            mat = byte_view[byte_starts + cols]
-        a, b = fn(mat, seed)
-        h1[idx] = a
-        h2[idx] = b
-    return h1, h2
+    return hash_var_bytes(byte_view, np.asarray(offsets, dtype=np.int64) * 4,
+                          algo, seed)
 
 
 def int64s_to_bytes_matrix(vals: np.ndarray) -> np.ndarray:

@@ -1,0 +1,208 @@
+"""Query surface over built sketch states.
+
+Two flavors:
+
+* **state-side** — turn a states DataFrame ``[key?, state, ...]`` into
+  answers (``hll_estimate``, ``cms_counts``, ``topk_values``) with a
+  pandas UDF over the tiny state rows; stays distributed, never
+  collects raw data.
+* **probe-side** — broadcast a (small) final sketch state and test a
+  big DataFrame column against it (``bloom_contains``,
+  ``cuckoo_contains``, ``cms_count_col``) with Arrow-vectorized pandas
+  UDFs: the reference's ``Lookup``/``Count`` (``bloom_filter.go:188-215``,
+  ``cuckoo_filter.go:118-125``, ``count_min_sketch.go:76-92``) applied
+  per-batch instead of per-call.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (ArrayType, BooleanType, LongType, StringType,
+                               StructField, StructType)
+
+from gostatix_spark import hashing
+from gostatix_spark.kernels import bloom, cms, cuckoo, hll, topk
+from gostatix_spark.state import (BloomState, CMSState, CuckooState, HLLState,
+                                  TopKState, sketch_from_bytes)
+
+__all__ = ["hll_estimate", "cms_counts", "topk_values", "bloom_contains",
+           "cuckoo_contains", "cms_count_col", "hash_pandas"]
+
+
+def _hash_pd(s: pd.Series, element: str, algo: str):
+    """(h1, h2) for a pandas Series under the canonical encodings."""
+    if element == "int64":
+        return hashing.hash_int64s(s.to_numpy(dtype=np.int64), algo)
+    if element == "int32":
+        return hashing.hash_tokens(s.to_numpy(dtype=np.int64), algo)
+    if element == "string":
+        return hashing.hash_bytes_batch([x.encode("utf-8") for x in s], algo)
+    if element == "binary":
+        return hashing.hash_bytes_batch([bytes(x) for x in s], algo)
+    if element == "token_array":
+        lens = s.map(len).to_numpy(dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        values = (np.concatenate([np.asarray(x, dtype=np.int64) for x in s])
+                  if lens.sum() else np.zeros(0, np.int64))
+        return hashing.hash_token_arrays(values, offsets, algo)
+    raise ValueError(element)
+
+
+hash_pandas = _hash_pd
+
+
+# ---------------------------------------------------------------------------
+# state-side queries
+# ---------------------------------------------------------------------------
+
+
+def hll_estimate(states: DataFrame, out_col: str = "est_distinct",
+                 linear_counting: bool = True) -> DataFrame:
+    """[key?, state, ...] → [key?, est_distinct] (``hyperloglog.go:67-76``)."""
+    @F.pandas_udf(LongType())
+    def est(blobs: pd.Series) -> pd.Series:
+        return pd.Series([
+            hll.count(sketch_from_bytes(bytes(b)).registers,
+                      linear_counting=linear_counting)
+            for b in blobs], dtype="int64")
+    return states.withColumn(out_col, est(F.col("state")))
+
+
+def topk_values(states: DataFrame, out_elem: str = "element",
+                out_count: str = "est_count", exact: bool = False,
+                decode: str = "string") -> DataFrame:
+    """[key?, state, ...] → exploded [key?, rank, element, est_count].
+
+    ``decode``: 'string' (utf-8), 'int64'/'int32' (big-endian), 'binary'.
+    """
+    def dec(e: bytes):
+        if decode == "string":
+            return e.decode("utf-8", "replace")
+        if decode == "int64":
+            return int.from_bytes(e, "big", signed=True)
+        if decode == "int32":
+            return int.from_bytes(e, "big", signed=True)
+        return e
+    elem_type = {"string": StringType(), "binary": None}.get(decode, LongType())
+    if decode == "binary":
+        from pyspark.sql.types import BinaryType
+        elem_type = BinaryType()
+
+    result_t = ArrayType(StructType([
+        StructField("rank", LongType()), StructField(out_elem, elem_type),
+        StructField(out_count, LongType())]))
+
+    @F.pandas_udf(result_t)
+    def vals(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            st: TopKState = sketch_from_bytes(bytes(b))
+            rows = topk.final_values(st.cms.matrix, st.candidates, st.k,
+                                     exact=exact)
+            out.append([{"rank": i + 1, out_elem: dec(e), out_count: c}
+                        for i, (e, c) in enumerate(rows)])
+        return pd.Series(out)
+
+    key_cols = [c for c in states.columns
+                if c not in ("state", "n_items", "n_partials")]
+    return (states
+            .withColumn("_tk", F.explode(vals(F.col("state"))))
+            .select(*key_cols, "_tk.rank", f"_tk.{out_elem}", f"_tk.{out_count}"))
+
+
+def cms_counts(states: DataFrame, items: list, element: str = "string",
+               out_col: str = "est_count") -> DataFrame:
+    """Point-query a fixed item list against every key's CMS state —
+    returns exploded [key?, item, est_count]."""
+    h1, h2 = _hash_pd(pd.Series(items), element, "metro")
+    h1l, h2l = h1.tolist(), h2.tolist()
+    from pyspark.sql.types import BinaryType
+    item_type = {"string": StringType(), "int64": LongType(),
+                 "int32": LongType(), "binary": BinaryType()}[element]
+    result_t = ArrayType(StructType([
+        StructField("item", item_type), StructField(out_col, LongType())]))
+
+    @F.pandas_udf(result_t)
+    def q(blobs: pd.Series) -> pd.Series:
+        ha = np.array(h1l, dtype=np.uint64)
+        hb = np.array(h2l, dtype=np.uint64)
+        out = []
+        for b in blobs:
+            st: CMSState = sketch_from_bytes(bytes(b))
+            est = cms.query_batch(st.matrix, ha, hb)
+            out.append([{"item": items[i], out_col: int(est[i])}
+                        for i in range(len(items))])
+        return pd.Series(out)
+
+    key_cols = [c for c in states.columns
+                if c not in ("state", "n_items", "n_partials")]
+    return (states.withColumn("_q", F.explode(q(F.col("state"))))
+            .select(*key_cols, "_q.item", f"_q.{out_col}"))
+
+
+# ---------------------------------------------------------------------------
+# probe-side: broadcast state, test a big column
+# ---------------------------------------------------------------------------
+
+
+def bloom_contains(spark: SparkSession, state_blob: bytes, col: Column,
+                   element: str) -> Column:
+    """Vectorized membership predicate column against a broadcast Bloom
+    state — the distributed analog of ``Lookup`` (``bloom_filter.go:188``).
+    Use it to prefilter semi/anti joins; no false negatives."""
+    bc = spark.sparkContext.broadcast(bytes(state_blob))
+
+    @F.pandas_udf(BooleanType())
+    def probe(s: pd.Series) -> pd.Series:
+        st: BloomState = sketch_from_bytes(bc.value)
+        h1, h2 = _hash_pd(s, element, "metro")
+        return pd.Series(bloom.lookup_batch(st.words, h1, h2, st.k, st.m))
+
+    return probe(col)
+
+
+def cuckoo_contains(spark: SparkSession, shard_states: list[bytes],
+                    col: Column, element: str) -> Column:
+    """Membership against a sharded cuckoo build: shard = h1 % n_shards
+    (must match :func:`gostatix_spark.agg.cuckoo_build`), probe the
+    owning shard's buckets. ``shard_states[i]`` is shard i's state."""
+    bc = spark.sparkContext.broadcast([bytes(b) for b in shard_states])
+
+    @F.pandas_udf(BooleanType())
+    def probe(s: pd.Series) -> pd.Series:
+        blobs = bc.value
+        n_shards = len(blobs)
+        filters = []
+        for b in blobs:
+            st: CuckooState = sketch_from_bytes(b)
+            filters.append(cuckoo.CuckooFilter(
+                st.size, st.bucket_size, st.fp_len, st.retries,
+                buckets=st.buckets, length=st.length))
+        h1, _ = _hash_pd(s, element, "murmur3")
+        shard = (h1 % np.uint64(n_shards)).astype(np.int64)
+        out = np.zeros(len(s), dtype=bool)
+        for i, f in enumerate(filters):
+            sel = shard == i
+            if sel.any():
+                out[sel] = f.lookup_hashes(h1[sel])
+        return pd.Series(out)
+
+    return probe(col)
+
+
+def cms_count_col(spark: SparkSession, state_blob: bytes, col: Column,
+                  element: str) -> Column:
+    """Per-row CMS frequency estimate column against a broadcast state
+    (``count_min_sketch.go:76-92`` vectorized)."""
+    bc = spark.sparkContext.broadcast(bytes(state_blob))
+
+    @F.pandas_udf(LongType())
+    def probe(s: pd.Series) -> pd.Series:
+        st: CMSState = sketch_from_bytes(bc.value)
+        h1, h2 = _hash_pd(s, element, "metro")
+        return pd.Series(cms.query_batch(st.matrix, h1, h2).astype(np.int64))
+
+    return probe(col)

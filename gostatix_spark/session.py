@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for the sketch workload.
+
+Settings rationale (100 TB design, tested on local[N]):
+
+* AQE on — runtime coalescing of the tiny partial-state shuffle and
+  skew-join splitting come for free.
+* Arrow everywhere — every UDF in this library is Arrow-batched; the
+  batch size bounds phase-1 kernel working sets (10k rows × ~200 tokens
+  ≈ 2M hashed elements per batch).
+* shuffle partitions sized to cores on local mode; on a real cluster
+  set ``spark.sql.shuffle.partitions`` ≈ 2-3× total cores and let AQE
+  coalesce — the phase-2 shuffle here is tiny (one sketch row per
+  partition×key) so it never dominates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "gostatix-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(32, cores)
+    return (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

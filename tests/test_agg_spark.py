@@ -1,0 +1,156 @@
+"""End-to-end Spark tests for the two-phase aggregation (SURVEY.md §5.2:
+error-bound gates, partition invariance, global fold invariant)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gostatix_spark import params
+from gostatix_spark.agg import cuckoo_build, sketch_agg
+from gostatix_spark.corpus import corpus_df
+from gostatix_spark.kernels import hll as hll_kernel
+from gostatix_spark.query import (bloom_contains, cms_count_col, cms_counts,
+                                  cuckoo_contains, hll_estimate, topk_values)
+from gostatix_spark.state import sketch_from_bytes
+
+N_DOCS = 2000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = corpus_df(spark, N_DOCS, seed=42, partitions=8).cache()
+    df.count()
+    return df
+
+
+class TestHLLAgg:
+    def test_distinct_tokens_per_source_within_bound(self, spark, corpus):
+        m = 4096
+        states = sketch_agg(corpus, "hll", "tokens", key_col="source", m=m)
+        got = {r["source"]: r["est_distinct"]
+               for r in hll_estimate(states).collect()}
+        exact = {r["source"]: r["exact"]
+                 for r in corpus.select("source", F.explode("tokens").alias("t"))
+                 .groupBy("source").agg(F.countDistinct("t").alias("exact"))
+                 .collect()}
+        assert set(got) == set(exact)
+        bound = 3 * params.hll_accuracy(m)
+        for s in exact:
+            rel = abs(got[s] - exact[s]) / exact[s]
+            assert rel <= bound, (s, got[s], exact[s])
+
+    def test_partition_invariance_bytewise(self, spark, corpus):
+        blobs = []
+        for nparts in (1, 4, 8):
+            states = sketch_agg(corpus.repartition(nparts), "hll", "tokens", m=1024)
+            blobs.append(states.collect()[0]["state"])
+        regs = [sketch_from_bytes(bytes(b)).registers for b in blobs]
+        assert np.array_equal(regs[0], regs[1])
+        assert np.array_equal(regs[1], regs[2])
+
+    def test_tree_merge_same_result(self, spark, corpus):
+        a = sketch_agg(corpus, "hll", "tokens", m=1024)
+        b = sketch_agg(corpus, "hll", "tokens", m=1024, tree_fanout=3)
+        ra = sketch_from_bytes(bytes(a.collect()[0]["state"])).registers
+        rb = sketch_from_bytes(bytes(b.collect()[0]["state"])).registers
+        assert np.array_equal(ra, rb)
+
+
+class TestCMSAgg:
+    def test_point_queries_vs_exact(self, spark, corpus):
+        # wide CMS + few hot tokens → estimates are exact upper bounds
+        states = sketch_agg(corpus, "cms", "tokens", eps=0.0001, fail_prob=0.01)
+        hot = [1, 2, 3, 5, 10]
+        got = {r["item"]: r["est_count"]
+               for r in cms_counts(states, hot, element="int32").collect()}
+        exact = {r["t"]: r["cnt"]
+                 for r in corpus.select(F.explode("tokens").alias("t"))
+                 .where(F.col("t").isin(hot))
+                 .groupBy("t").agg(F.count("*").alias("cnt")).collect()}
+        n_total = corpus.select(F.sum("n_tok")).collect()[0][0]
+        for t in hot:
+            assert got[t] >= exact[t]                 # never underestimates
+            assert got[t] - exact[t] <= 0.0001 * n_total
+
+    def test_all_sum_tracked(self, spark, corpus):
+        states = sketch_agg(corpus, "cms", "tokens", d=3, w=1000)
+        st = sketch_from_bytes(bytes(states.collect()[0]["state"]))
+        n_total = corpus.select(F.sum("n_tok")).collect()[0][0]
+        assert st.all_sum == n_total
+
+
+class TestBloomAgg:
+    def test_no_false_negatives_and_fpr(self, spark, corpus):
+        n = N_DOCS
+        states = sketch_agg(corpus, "bloom", "doc_id", element="string",
+                            n=n, eps=0.01)
+        blob = bytes(states.collect()[0]["state"])
+        probes = corpus.select("doc_id").withColumn(
+            "hit", bloom_contains(spark, blob, F.col("doc_id"), "string"))
+        assert probes.where(~F.col("hit")).count() == 0  # no false negatives
+        missing = spark.range(N_DOCS, N_DOCS + 5000).select(
+            F.format_string("doc-%012d", "id").alias("doc_id"))
+        fp = missing.withColumn(
+            "hit", bloom_contains(spark, blob, F.col("doc_id"), "string")) \
+            .where("hit").count()
+        assert fp / 5000 <= 0.02  # ≤ 2×ε slack at this n
+
+
+class TestTopKAgg:
+    def test_heavy_hitters_exact_vs_oracle(self, spark, corpus):
+        k = 10
+        states = sketch_agg(corpus, "topk", "tokens", element="tokens",
+                            k=k, eps=0.0001, slack=4)
+        got = topk_values(states, decode="int32").orderBy("rank").collect()
+        oracle = (corpus.select(F.explode("tokens").alias("t"))
+                  .groupBy("t").agg(F.count("*").alias("cnt"))
+                  .orderBy(F.desc("cnt"), F.asc("t")).limit(k).collect())
+        n_total = corpus.select(F.sum("n_tok")).collect()[0][0]
+        # ranking matches the exact oracle; CMS estimates are ≥ exact and
+        # within ε·N (reference semantics: heap stores CMS estimates)
+        assert [r["element"] for r in got] == [r["t"] for r in oracle]
+        for g, o in zip(got, oracle):
+            assert o["cnt"] <= g["est_count"] <= o["cnt"] + 0.0001 * n_total
+        # exact mode: summed per-partition candidate counts == oracle
+        got_exact = (topk_values(states, exact=True, decode="int32")
+                     .orderBy("rank").collect())
+        assert [(r["element"], r["est_count"]) for r in got_exact] == \
+            [(r["t"], r["cnt"]) for r in oracle]
+
+
+class TestCuckooAgg:
+    def test_membership_sharded(self, spark, corpus):
+        states = cuckoo_build(corpus, "doc_id", element="string", n_shards=4,
+                              eps=0.001)
+        rows = states.collect()
+        assert len(rows) == 4
+        shard_blobs = [None] * 4
+        for r in rows:
+            shard_blobs[r["shard"]] = bytes(r["state"])
+        assert sum(r["n_items"] for r in rows) == N_DOCS
+        probes = corpus.select("doc_id").withColumn(
+            "hit", cuckoo_contains(spark, shard_blobs, F.col("doc_id"), "string"))
+        assert probes.where(~F.col("hit")).count() == 0
+
+
+class TestElementKinds:
+    def test_token_array_element_dedup_semantics(self, spark, corpus):
+        # whole-array membership: every full token array is in the bloom
+        states = sketch_agg(corpus, "bloom", "tokens", element="token_array",
+                            n=N_DOCS, eps=0.01)
+        blob = bytes(states.collect()[0]["state"])
+        probes = corpus.select("tokens").withColumn(
+            "hit", bloom_contains(spark, blob, F.col("tokens"), "token_array"))
+        assert probes.where(~F.col("hit")).count() == 0
+
+    def test_cms_count_col_probe(self, spark, corpus):
+        states = sketch_agg(corpus, "cms", "source", element="string",
+                            d=5, w=2719)
+        blob = bytes(states.collect()[0]["state"])
+        got = (corpus.withColumn(
+                   "est", cms_count_col(spark, blob, F.col("source"), "string"))
+               .groupBy("source").agg(F.max("est").alias("est")).collect())
+        exact = {r["source"]: r["cnt"] for r in
+                 corpus.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+        for r in got:
+            assert r["est"] == exact[r["source"]]  # wide CMS, 4 keys → exact
