@@ -332,7 +332,8 @@ def _partial_schema(df: DataFrame, key_col: str | None) -> StructType:
 
 
 def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
-                    key_col: str | None, element: str) -> DataFrame:
+                    key_col: str | None, element: str,
+                    skip_partitions: frozenset[int] = frozenset()) -> DataFrame:
     out_schema = _partial_schema(df, key_col)
     cols = ([key_col] if key_col else []) + [value_col]
     algo = spec.algo
@@ -342,6 +343,10 @@ def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        if pid in skip_partitions:
+            # resume path: this partition's partial is already checkpointed
+            # (real deployments prune at the source/manifest level instead)
+            return
         accs: dict = {}
         rows_by_key: dict = {}
         for batch in batches:
