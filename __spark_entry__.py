@@ -1,38 +1,386 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship query (sf0.001 smoke).
+``queries``  — one entry per implemented operator (SURVEY.md §2 +
+               training-pipeline ops); each callable (spark, sf_dir) → DataFrame.
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents for every
+               deterministically-SQL-expressible query; estimate-only /
+               LSH-recall queries intentionally have no oracle (the
+               driver records a rows-only check for those, and their
+               error bounds are gated in tests/ instead).
+
+Column names/aliases match between Spark and SQL on every oracle query
+(the driver's compare hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gostatix_spark import dedup, params, similarity, textstats
+from gostatix_spark.agg import cuckoo_build, sketch_agg
+from gostatix_spark.kernels.cuckoo import CuckooFilter
+from gostatix_spark.query import (bloom_contains, cms_counts, hll_estimate,
+                                  topk_values)
+from gostatix_spark.state import sketch_from_bytes
+
+HLL_M = 4096
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: HLL distinct-users-per-event-type on sf0.001, with the
+    published-bound gate computed alongside the exact answer."""
+    return q_hll_bound_gate(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# sketch queries
+# ---------------------------------------------------------------------------
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate per event_type (estimate-only → no oracle; the
+    3·1.04/√m bound for this exact pipeline is gated in q_hll_bound_gate
+    and tests/test_agg_spark.py)."""
+    events = _read(spark, sf_dir, "events")
+    states = sketch_agg(events, "hll", "user_id", key_col="event_type", m=HLL_M)
+    return hll_estimate(states).select("event_type", "est_distinct")
+
+
+def q_hll_bound_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checks |est − exact|/exact ≤ 3·1.04/√m per event_type. The
+    oracle asserts the gate is ALWAYS true — the Spark side genuinely
+    computes both the estimate and the exact count."""
+    events = _read(spark, sf_dir, "events")
+    states = sketch_agg(events, "hll", "user_id", key_col="event_type", m=HLL_M)
+    est = hll_estimate(states).select("event_type", "est_distinct")
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    bound = 3 * params.hll_accuracy(HLL_M)
+    return (est.join(exact, "event_type")
+            .select("event_type",
+                    (F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                     / F.col("exact_distinct") <= bound).alias("within_bound"))
+            )
+
+
+def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point queries for every event type. d=5, w=2719 with ~5
+    distinct keys → estimates are exact (deterministic hashing), so the
+    exact GROUP BY is a valid oracle."""
+    events = _read(spark, sf_dir, "events")
+    states = sketch_agg(events, "cms", "event_type", element="string",
+                        d=5, w=2719)
+    return (cms_counts(states, EVENT_TYPES, element="string")
+            .select(F.col("item").alias("event_type"),
+                    F.col("est_count").alias("cnt")))
+
+
+def q_topk_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Top-K (k=20) heavy hitters over lineitem.l_partkey,
+    exact mode (candidate slack covers the true top-k; counts are the
+    summed per-partition exact counts)."""
+    li = _read(spark, sf_dir, "lineitem")
+    states = sketch_agg(li, "topk", "l_partkey", k=20, eps=0.0001, slack=8)
+    return (topk_values(states, exact=True, decode="int64")
+            .select("rank", F.col("element").alias("l_partkey"),
+                    F.col("est_count").alias("cnt")))
+
+
+def q_topk_partkeys_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-semantics Top-K (counts are merged-CMS estimates) —
+    estimate-only → no oracle; ranking agreement is tested in
+    tests/test_agg_spark.py."""
+    li = _read(spark, sf_dir, "lineitem")
+    states = sketch_agg(li, "topk", "l_partkey", k=20, eps=0.0001, slack=8)
+    return (topk_values(states, exact=False, decode="int64")
+            .select("rank", F.col("element").alias("l_partkey"),
+                    F.col("est_count").alias("cnt")))
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom over all document ids, probe the same ids: a Bloom filter
+    has NO false negatives, so `contained` is exactly TRUE for all."""
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    states = sketch_agg(docs, "bloom", "doc_id", n=max(n, 1), eps=0.01)
+    blob = bytes(states.collect()[0]["state"])
+    return docs.select("doc_id").withColumn(
+        "contained", bloom_contains(spark, blob, F.col("doc_id"), "int64"))
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated semi join: prefilter orders by a bloom of the
+    selected customer keys, then exact semi join to drop the (possible)
+    false positives — result equals the plain semi join; the bloom
+    prunes the shuffle."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").where("c_custkey % 3 = 0")
+    n = max(cust.count(), 1)
+    states = sketch_agg(cust, "bloom", "c_custkey", n=n, eps=0.01)
+    blob = bytes(states.collect()[0]["state"])
+    pre = orders.where(bloom_contains(spark, blob, F.col("o_custkey"), "int64"))
+    return (pre.join(cust, pre.o_custkey == cust.c_custkey, "left_semi")
+            .select("o_orderkey"))
+
+
+def q_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo insert→remove→lookup: build over all supplier keys,
+    remove the even ones, probe the odd ones — no false negatives, so
+    `contained` is exactly TRUE."""
+    supp = _read(spark, sf_dir, "supplier")
+    states = cuckoo_build(supp, "s_suppkey", n_shards=1, eps=0.001)
+    st = sketch_from_bytes(bytes(states.collect()[0]["state"]))
+    filt = CuckooFilter(st.size, st.bucket_size, st.fp_len, st.retries,
+                        buckets=st.buckets, length=st.length)
+    keys = [r["s_suppkey"] for r in supp.select("s_suppkey").collect()]
+    for k in keys:
+        if k % 2 == 0:
+            filt.remove(int(k).to_bytes(8, "big", signed=True))
+    odd = sorted(k for k in keys if k % 2 == 1)
+    from gostatix_spark import hashing
+    h1, _ = hashing.hash_int64s(np.array(odd, dtype=np.int64), "murmur3")
+    hits = filt.lookup_hashes(h1)
+    return spark.createDataFrame(
+        [(int(k), bool(h)) for k, h in zip(odd, hits)],
+        "s_suppkey bigint, contained boolean")
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id") \
+        .select("keep_id", "n_dupes")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                      threshold=0.5, block_col="source")
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (LSH recall is
+    probabilistic → rows-only check; precision is exact by construction)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5,
+                                      num_perm=64, bands=16)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3, pigeonhole-complete) —
+    hash-defined, not SQL-expressible → rows-only."""
+    docs = _read(spark, sf_dir, "documents")
+    sims = dedup.simhash(docs, "text", "doc_id")
+    return dedup.simhash_near_pairs(sims, max_hamming=3)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (textstats.token_stats(docs, "text", "doc_id")
+            .select("doc_id", "n_ws_tokens", "n_chars",
+                    F.round("avg_token_len", 6).alias("avg_token_len"),
+                    "est_bpe_tokens"))
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.quality_features(docs, "text", "doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.language_id(docs, "text", "doc_id") \
+        .select("doc_id", "lang_guess")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.content_fingerprint(docs, "text", "doc_id")
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling murmur3 k-grams) — rows-only."""
+    docs = _read(spark, sf_dir, "documents")
+    return (textstats.winnowing_fingerprints(docs, "text", "doc_id")
+            .select("doc_id", F.size("fingerprints").alias("n_fingerprints")))
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 3 vectors (ids only —
+    float scores stay engine-internal)."""
+    emb = _read(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = (emb.where("vec_id < 3")
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (similarity.brute_force_topk(emb, queries, k=5)
+            .select("q_id", "rank", "vec_id"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (recall < 1 by design) — rows-only."""
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = (emb.where("vec_id < 3")
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (similarity.lsh_topk(emb, queries, k=5, dim=dim,
+                                n_bits=8, prefix_bits=2)
+            .select("q_id", "rank", "vec_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "hll_users": q_hll_users,
+        "hll_bound_gate": q_hll_bound_gate,
+        "cms_event_counts": q_cms_event_counts,
+        "topk_partkeys": q_topk_partkeys,
+        "topk_partkeys_cms": q_topk_partkeys_cms,
+        "bloom_membership": q_bloom_membership,
+        "bloom_semijoin": q_bloom_semijoin,
+        "cuckoo_membership": q_cuckoo_membership,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "token_stats": q_token_stats,
+        "quality_features": q_quality_features,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "winnowing": q_winnowing,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = {lg: ws for lg, ws in textstats.STOPWORDS.items()}
+
+    def occ(expr: str, needle: str) -> str:
+        n = needle.replace("'", "''")
+        return (f"CAST((length({expr}) - length(replace({expr}, '{n}', '')))"
+                f" / {len(needle)} AS BIGINT)")
+
+    def stop_score(lang: str) -> str:
+        padded = "concat(' ', lower(text), ' ')"
+        return " + ".join(occ(padded, w) for w in stop[lang])
+
+    lang_case = ("CASE WHEN " +
+                 " = 0 AND ".join(f"s_{lg}" for lg in sorted(stop)) +
+                 " = 0 THEN 'und' " +
+                 " ".join(
+                     f"WHEN s_{lg} = greatest(" +
+                     ", ".join(f"s_{x}" for x in sorted(stop)) +
+                     f") THEN '{lg}'" for lg in sorted(stop)) +
+                 " END")
+
+    punct = " + ".join(occ("text", c) for c in [".", ",", "!", "?", ";"])
+    stop_en = " + ".join(occ("lower(text)", w) for w in stop["en"])
+
+    return {
+        "hll_bound_gate": (
+            "SELECT DISTINCT event_type, TRUE AS within_bound FROM events"),
+        "cms_event_counts": (
+            "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"),
+        "topk_partkeys": (
+            "SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_partkey ASC)"
+            " AS rank, l_partkey, COUNT(*) AS cnt FROM lineitem"
+            " GROUP BY l_partkey ORDER BY cnt DESC, l_partkey ASC LIMIT 20"),
+        "bloom_membership": (
+            "SELECT doc_id, TRUE AS contained FROM documents"),
+        "bloom_semijoin": (
+            "SELECT o_orderkey FROM orders WHERE o_custkey IN"
+            " (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)"),
+        "cuckoo_membership": (
+            "SELECT s_suppkey, TRUE AS contained FROM supplier"
+            " WHERE s_suppkey % 2 = 1"),
+        "dedup_exact": (
+            "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes FROM documents"
+            " GROUP BY md5(lower(trim(text)))"),
+        "ngram_jaccard": ("""
+            WITH grams AS (
+              SELECT DISTINCT doc_id AS id, source,
+                     concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS gram
+              FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+                    FROM documents),
+                   UNNEST(range(len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3
+            ), sizes AS (
+              SELECT id, COUNT(*) AS n_grams FROM grams GROUP BY id
+            ), common AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.source = b.source AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(common / (sa.n_grams + sb.n_grams - common), 6)
+                     AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE common / (sa.n_grams + sb.n_grams - common) >= 0.5
+        """),
+        "token_stats": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,"
+            " length(text) AS n_chars,"
+            " round(length(text) / len(string_split(text, ' ')), 6)"
+            "   AS avg_token_len,"
+            " CAST(ceil(length(text) / 4) AS BIGINT) AS est_bpe_tokens"
+            " FROM documents"),
+        "quality_features": (
+            "SELECT doc_id, length(text) AS n_chars,"
+            " len(string_split(text, ' ')) AS n_words,"
+            f" round(({punct}) / length(text), 6) AS punct_ratio,"
+            f" round(({stop_en}) / len(string_split(text, ' ')), 6)"
+            "   AS stopword_ratio,"
+            " round(length(text) / len(string_split(text, ' ')), 6)"
+            "   AS mean_word_len"
+            " FROM documents"),
+        "lang_id": (
+            "SELECT doc_id, " + lang_case + " AS lang_guess FROM ("
+            "SELECT doc_id, " +
+            ", ".join(f"({stop_score(lg)}) AS s_{lg}" for lg in sorted(stop)) +
+            " FROM documents)"),
+        "fingerprint": (
+            "SELECT doc_id, md5(lower(trim(text))) AS fingerprint"
+            " FROM documents"),
+        "ann_bruteforce": ("""
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 3),
+                 scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.q_vec AS DOUBLE[])) AS cosine
+              FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+              SELECT q_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cosine DESC, vec_id ASC)
+                       AS rank
+              FROM scored
+            )
+            SELECT q_id, rank, vec_id FROM ranked WHERE rank <= 5
+        """),
+    }

@@ -1,0 +1,69 @@
+"""Driver-contract rehearsal: run every ``queries()`` entry at sf0.01
+and compare to its ``oracle_sql()`` via DuckDB exactly the way the
+driver does — row count, column names, and order-insensitive values
+(columns sorted by name, rows sorted)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+ORACLES = entrymod.oracle_sql()
+ALL_QUERIES = entrymod.queries()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["event_type", "within_bound"]
+    assert all(r["within_bound"] for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, ddb, name):
+    got = ALL_QUERIES[name](spark, SF_DIR).toPandas()
+    want = ddb.execute(ORACLES[name]).df()
+    assert sorted(got.columns) == sorted(want.columns), \
+        f"{name}: column mismatch {got.columns} vs {want.columns}"
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    g, w = _normalize(got), _normalize(want)
+    for c in g.columns:
+        if g[c].dtype.kind == "f" or w[c].dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                g[c].astype(float), w[c].astype(float),
+                check_exact=True, check_names=False, obj=f"{name}.{c}")
+        else:
+            assert g[c].astype(str).tolist() == w[c].astype(str).tolist(), \
+                f"{name}: values differ in column {c}"
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = ALL_QUERIES[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
