@@ -47,7 +47,8 @@ from gostatix_spark.kernels import bloom, cms, cuckoo, hll, topk
 from gostatix_spark.state import (BloomState, CMSState, CuckooState, HLLState,
                                   TopKState, sketch_from_bytes)
 
-__all__ = ["sketch_agg", "cuckoo_build", "merge_sketch_states"]
+__all__ = ["sketch_agg", "multi_sketch_agg", "cuckoo_build",
+           "merge_sketch_states"]
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +230,8 @@ class _Spec:
         if self.kind == "bloom":
             return [bloom.new_state(p["m"]), 0]
         if self.kind == "topk":
+            if self.element in ("tokens", "int32", "int64"):
+                return [topk.IntCounts(), 0]
             return [Counter(), 0]
 
     element: str = "string"  # set by _build_partials before use
@@ -244,13 +247,7 @@ class _Spec:
             bloom.insert_batch(acc[0], h1, h2, p["k"], p["m"])
             acc[1] += len(h1)
         elif self.kind == "topk":
-            if isinstance(elems, np.ndarray):
-                uniq, cnts = np.unique(elems, return_counts=True)
-                c = acc[0]
-                for u, n in zip(uniq.tolist(), cnts.tolist()):
-                    c[u] += n
-            else:
-                acc[0].update(elems)
+            acc[0].update(elems)  # IntCounts (vectorized) or Counter
             acc[1] += len(elems)
 
     def finalize(self, acc) -> tuple[bytes, int]:
@@ -262,10 +259,12 @@ class _Spec:
         if self.kind == "bloom":
             return BloomState(p["m"], p["k"], acc[0], acc[1]).to_bytes(), acc[1]
         if self.kind == "topk":
-            counter = Counter({encode_candidate(e, self.element): n
-                               for e, n in acc[0].items()})
-            mat, total, cand = topk.partial_from_counter(
-                counter, p["k"], p["slack"], p["d"], p["w"])
+            if isinstance(acc[0], topk.IntCounts):
+                mat, total, cand = topk.partial_from_int_counts(
+                    acc[0], self.element, p["k"], p["slack"], p["d"], p["w"])
+            else:
+                mat, total, cand = topk.partial_from_counter(
+                    acc[0], p["k"], p["slack"], p["d"], p["w"])
             st = TopKState(p["k"], p["eps"], p["fail_prob"],
                            CMSState(p["d"], p["w"], mat, total), cand)
             return st.to_bytes(), acc[1]
@@ -487,6 +486,127 @@ def sketch_agg(df: DataFrame, kind: str, value_col: str, *,
     if _return_partials:
         return partials
     return _merge_partials(partials, key_col, tree_fanout)
+
+
+def multi_sketch_agg(df: DataFrame, jobs: list[dict],
+                     tree_fanout: int | None = None) -> DataFrame:
+    """Build MANY sketches in ONE scan — the 100 TB shape: the input is
+    read once, each Arrow batch is hashed once per distinct
+    (column, element, algo) and folded into every requested sketch.
+
+    ``jobs``: list of dicts ``{name, kind, value_col, key_col?,
+    element?, params?}``. Keys are stringified into a uniform ``key``
+    column (null for global sketches). Returns
+    ``DataFrame[sketch_name, key, state, n_items, n_partials]``.
+    """
+    specs: dict[str, _Spec] = {}
+    meta: dict[str, tuple[str, str | None, str]] = {}
+    for j in jobs:
+        name = j["name"]
+        element = infer_element(df, j["value_col"], j.get("element"))
+        spec = _Spec.make(j["kind"], **j.get("params", {}))
+        spec.element = element
+        specs[name] = spec
+        meta[name] = (j["value_col"], j.get("key_col"), element)
+
+    in_cols = sorted({m[0] for m in meta.values()}
+                     | {m[1] for m in meta.values() if m[1]})
+    out_schema = StructType([
+        StructField("sketch_name", StringType(), False),
+        StructField("key", StringType(), True),
+        StructField("state", BinaryType(), False),
+        StructField("n_items", LongType(), False),
+        StructField("partition_id", IntegerType(), False),
+        StructField("rows_consumed", LongType(), False)])
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        accs: dict[tuple[str, str | None], list] = {}
+        rows_seen: dict[tuple[str, str | None], int] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            hash_cache: dict = {}
+            elem_cache: dict = {}
+            key_cache: dict = {}
+            for name, spec in specs.items():
+                vcol, kcol, element = meta[name]
+                if spec.needs_elements():
+                    ck = (vcol, element, "vals")
+                    if ck not in elem_cache:
+                        varr = batch.column(vcol)
+                        elem_cache[ck] = element_values(varr, element)
+                    elems = elem_cache[ck]
+                    if element == "tokens":
+                        _, offs = _arrow_list_ints(batch.column(vcol))
+                        rowmap = np.repeat(np.arange(batch.num_rows),
+                                           np.diff(offs))
+                    else:
+                        rowmap = None
+                    h1 = h2 = np.zeros(len(elems), dtype=np.uint64)
+                else:
+                    ck = (vcol, element, spec.algo)
+                    if ck not in hash_cache:
+                        hash_cache[ck] = extract_hashes(
+                            batch.column(vcol), element, spec.algo)
+                    h1, h2, rowmap = hash_cache[ck]
+                    elems = None
+                if kcol is None:
+                    acc = accs.setdefault((name, None), spec.init())
+                    spec.update(acc, h1, h2, elems)
+                    rows_seen[(name, None)] = rows_seen.get((name, None), 0) \
+                        + batch.num_rows
+                else:
+                    if kcol not in key_cache:
+                        keys = batch.column(kcol).to_pandas()
+                        key_cache[kcol] = pd.factorize(keys, sort=False)
+                    codes, uniques = key_cache[kcol]
+                    ecodes = codes if rowmap is None else codes[rowmap]
+                    order = np.argsort(ecodes, kind="stable")
+                    bounds = np.searchsorted(ecodes[order],
+                                             np.arange(len(uniques)))
+                    bounds = np.append(bounds, len(ecodes))
+                    for g, key in enumerate(uniques):
+                        sel = order[bounds[g]:bounds[g + 1]]
+                        acc = accs.setdefault((name, str(key)), spec.init())
+                        grp = None
+                        if elems is not None:
+                            grp = (elems[sel] if isinstance(elems, np.ndarray)
+                                   else [elems[i] for i in sel])
+                        spec.update(acc, h1[sel], h2[sel], grp)
+                        rows_seen[(name, str(key))] = rows_seen.get(
+                            (name, str(key)), 0) + int((codes == g).sum())
+        if accs:
+            out = []
+            for (name, key), acc in accs.items():
+                blob, n_items = specs[name].finalize(acc)
+                out.append({"sketch_name": name, "key": key, "state": blob,
+                            "n_items": n_items, "partition_id": pid,
+                            "rows_consumed": rows_seen[(name, key)]})
+            yield from pa.Table.from_pylist(
+                out, schema=_to_arrow_schema(out_schema)).to_batches()
+
+    partials = df.select(*in_cols).mapInArrow(fn, out_schema)
+
+    merge_schema = StructType([
+        StructField("sketch_name", StringType(), False),
+        StructField("key", StringType(), True),
+        StructField("state", BinaryType(), False),
+        StructField("n_items", LongType(), False),
+        StructField("n_partials", LongType(), False)])
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = merge_sketch_states(pdf["state"].tolist())
+        return pd.DataFrame([{
+            "sketch_name": pdf["sketch_name"].iloc[0],
+            "key": pdf["key"].iloc[0],
+            "state": blob,
+            "n_items": int(pdf["n_items"].sum()),
+            "n_partials": len(pdf)}])
+
+    grouped = partials.groupBy("sketch_name", "key")
+    return grouped.applyInPandas(merge_fn, merge_schema)
 
 
 def cuckoo_build(df: DataFrame, value_col: str, *,

@@ -153,15 +153,28 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 32,
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                         threshold: float = 0.8, num_perm: int = 128,
-                        bands: int = 32, shingle_k: int = 5,
+                        bands: int = 16, shingle_k: int = 5,
                         seed: int = 1) -> DataFrame:
-    """Full near-dup pipeline: signatures → LSH candidates → verify with
-    the **exact** shingle Jaccard (recomputed for the candidate pair
-    only). Output: [id_a, id_b, jaccard] with jaccard ≥ threshold.
-    Exactness of the verify step means LSH can only *miss* pairs, never
-    emit a false positive."""
+    """Full near-dup pipeline: signatures → LSH candidates →
+    signature-agreement prefilter (JVM zip_with, unbiased Jaccard
+    estimator) → verify survivors with the **exact** shingle Jaccard.
+    Output: [id_a, id_b, jaccard] with jaccard ≥ threshold. Exactness
+    of the verify step means the pipeline can only *miss* pairs
+    (LSH/prefilter recall), never emit a false positive."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
-    cands = lsh_candidate_pairs(sigs, bands)
+    cands = lsh_candidate_pairs(sigs, bands, num_perm=num_perm)
+    # JVM prefilter: fraction of agreeing permutations estimates Jaccard;
+    # exact-verify only pairs estimated ≥ ~threshold (small slack for
+    # estimator variance ≈ sqrt(t(1-t)/num_perm))
+    slack = 2.0 * (threshold * (1 - threshold) / num_perm) ** 0.5
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("_sb"))
+    est = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, x: acc + x) / num_perm
+    cands = (cands.join(sa, "id_a").join(sb, "id_b")
+             .where(est >= threshold - slack)
+             .select("id_a", "id_b"))
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     paired = (cands
               .join(texts.withColumnRenamed("id", "id_a")

@@ -342,7 +342,30 @@ def metrohash128_vec(mat: np.ndarray, seed: int = 1373) -> tuple[np.ndarray, np.
     return v0, v1
 
 
-_VEC = {"murmur3": murmur3_128_vec, "metro": metrohash128_vec}
+# Chunk hot-path hashing so every temporary stays cache-resident: a
+# (2^18, 4) batch keeps the ~30 uint64 temporaries per mix step at
+# ~2 MB each instead of tens of MB, which is the difference between
+# core-local L2/L3 traffic and saturating shared DRAM bandwidth when
+# 32 executor threads hash concurrently.
+_HASH_CHUNK = 1 << 18
+
+
+def _chunked(fn):
+    def wrapper(mat: np.ndarray, seed: int):
+        n = len(mat)
+        if n <= _HASH_CHUNK:
+            return fn(mat, seed)
+        h1 = np.empty(n, dtype=U64)
+        h2 = np.empty(n, dtype=U64)
+        for s in range(0, n, _HASH_CHUNK):
+            a, b = fn(mat[s:s + _HASH_CHUNK], seed)
+            h1[s:s + _HASH_CHUNK] = a
+            h2[s:s + _HASH_CHUNK] = b
+        return h1, h2
+    return wrapper
+
+
+_VEC = {"murmur3": _chunked(murmur3_128_vec), "metro": _chunked(metrohash128_vec)}
 _SCALAR = {"murmur3": murmur3_128, "metro": metrohash128}
 DEFAULT_SEED = {"murmur3": 0, "metro": 1373}
 

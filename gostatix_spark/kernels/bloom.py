@@ -33,16 +33,23 @@ def indices(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
             % U64(m)).astype(np.int64)
 
 
+_CHUNK = 1 << 17
+
+
 def insert_batch(words: np.ndarray, h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> None:
-    idx = indices(h1, h2, k, m)
-    np.bitwise_or.at(words, idx >> 6, U64(1) << (idx & 63).astype(U64))
+    for s in range(0, len(h1), _CHUNK):
+        idx = indices(h1[s:s + _CHUNK], h2[s:s + _CHUNK], k, m)
+        np.bitwise_or.at(words, idx >> 6, U64(1) << (idx & 63).astype(U64))
 
 
 def lookup_batch(words: np.ndarray, h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
     """Boolean membership per element (vectorized AND of k bit tests)."""
-    idx = indices(h1, h2, k, m)
-    bits = (words[idx >> 6] >> (idx & 63).astype(U64)) & U64(1)
-    return bits.all(axis=1)
+    out = np.empty(len(h1), dtype=bool)
+    for s in range(0, len(h1), _CHUNK):
+        idx = indices(h1[s:s + _CHUNK], h2[s:s + _CHUNK], k, m)
+        bits = (words[idx >> 6] >> (idx & 63).astype(U64)) & U64(1)
+        out[s:s + _CHUNK] = bits.all(axis=1)
+    return out
 
 
 def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -26,20 +26,28 @@ def positions(h1: np.ndarray, h2: np.ndarray, d: int, w: int) -> np.ndarray:
     return ((h1[:, None] + r * h2[:, None]) % U64(w)).astype(np.int64)
 
 
+_CHUNK = 1 << 17
+
+
 def update_batch(matrix: np.ndarray, h1: np.ndarray, h2: np.ndarray,
                  counts: np.ndarray | None = None) -> int:
     """Add ``counts`` (default 1) for each hashed element; returns the
-    batch total (caller accumulates all_sum)."""
+    batch total (caller accumulates all_sum). Processes in cache-sized
+    chunks so the (n, d) position temporaries stay small."""
     d, w = matrix.shape
-    pos = positions(h1, h2, d, w)
-    rows = np.broadcast_to(np.arange(d, dtype=np.int64)[None, :], pos.shape)
-    if counts is None:
-        c = np.ones((len(h1), 1), dtype=U64)
-        total = len(h1)
-    else:
-        c = np.asarray(counts, dtype=U64)[:, None]
-        total = int(c.sum())
-    np.add.at(matrix, (rows, pos), np.broadcast_to(c, pos.shape))
+    rows_full = np.arange(d, dtype=np.int64)[None, :]
+    total = 0
+    for s in range(0, len(h1), _CHUNK):
+        e = s + _CHUNK
+        pos = positions(h1[s:e], h2[s:e], d, w)
+        rows = np.broadcast_to(rows_full, pos.shape)
+        if counts is None:
+            c = np.ones((pos.shape[0], 1), dtype=U64)
+            total += pos.shape[0]
+        else:
+            c = np.asarray(counts[s:e], dtype=U64)[:, None]
+            total += int(c.sum())
+        np.add.at(matrix, (rows, pos), np.broadcast_to(c, pos.shape))
     return total
 
 

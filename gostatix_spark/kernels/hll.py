@@ -52,11 +52,15 @@ def index_and_rank(h1: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
     return idx, rank.astype(np.uint8)
 
 
+_CHUNK = 1 << 17
+
+
 def update_batch(registers: np.ndarray, h1: np.ndarray) -> None:
     """reg[idx] = max(reg[idx], rank) for a whole hash batch
-    (vectorized analog of ``hyperloglog.go:56-62``)."""
-    idx, rank = index_and_rank(h1, len(registers))
-    np.maximum.at(registers, idx, rank)
+    (vectorized analog of ``hyperloglog.go:56-62``), cache-chunked."""
+    for s in range(0, len(h1), _CHUNK):
+        idx, rank = index_and_rank(h1[s:s + _CHUNK], len(registers))
+        np.maximum.at(registers, idx, rank)
 
 
 def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -66,6 +66,54 @@ class TopKStream:
 # ---------------------------------------------------------------------------
 
 
+class IntCounts:
+    """Vectorized exact counts for integer elements: sorted (uniq,
+    counts) arrays merged with np.unique — no per-distinct Python."""
+
+    __slots__ = ("uniq", "counts")
+
+    def __init__(self):
+        self.uniq = np.zeros(0, dtype=np.int64)
+        self.counts = np.zeros(0, dtype=np.int64)
+
+    def update(self, values: np.ndarray) -> None:
+        u2, c2 = np.unique(values, return_counts=True)
+        u = np.concatenate([self.uniq, u2])
+        c = np.concatenate([self.counts, c2])
+        uu, inv = np.unique(u, return_inverse=True)
+        cc = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(cc, inv, c)
+        self.uniq, self.counts = uu, cc
+
+    def top(self, n: int) -> list[tuple[int, int]]:
+        if len(self.uniq) <= n:
+            order = np.argsort(-self.counts, kind="stable")
+        else:
+            part = np.argpartition(-self.counts, n)[:n]
+            order = part[np.argsort(-self.counts[part], kind="stable")]
+        return [(int(self.uniq[i]), int(self.counts[i])) for i in order[:n]]
+
+
+def partial_from_int_counts(ic: IntCounts, element: str, k: int, slack: int,
+                            d: int, w: int):
+    """Phase-1 finalize for integer elements: CMS update over ALL
+    distinct values (hashed vectorized under the canonical encoding —
+    no bytes round-trip) + top k·slack exact candidates as bytes."""
+    from gostatix_spark import hashing
+    from gostatix_spark.agg import encode_candidate
+
+    matrix = cms.new_state(d, w)
+    total = int(ic.counts.sum())
+    if len(ic.uniq):
+        if element == "int64":
+            h1, h2 = hashing.hash_int64s(ic.uniq, "metro")
+        else:  # tokens / int32
+            h1, h2 = hashing.hash_tokens(ic.uniq, "metro")
+        cms.update_batch(matrix, h1, h2, ic.counts.astype(np.uint64))
+    cand = {encode_candidate(v, element): c for v, c in ic.top(k * slack)}
+    return matrix, total, cand
+
+
 def partial_from_counter(counter: Counter, k: int, slack: int,
                          d: int, w: int) -> tuple[np.ndarray, int, dict[bytes, int]]:
     """Build a partition-local partial: CMS over the exact counts plus

@@ -133,6 +133,33 @@ class TestCuckooAgg:
         assert probes.where(~F.col("hit")).count() == 0
 
 
+class TestMultiSketchAgg:
+    def test_one_scan_matches_individual_builds(self, spark, corpus):
+        from gostatix_spark.agg import multi_sketch_agg
+        got = {(r["sketch_name"], r["key"]): bytes(r["state"])
+               for r in multi_sketch_agg(corpus, [
+                   {"name": "hll", "kind": "hll", "value_col": "tokens",
+                    "key_col": "source", "params": {"m": 1024}},
+                   {"name": "bloom", "kind": "bloom", "value_col": "doc_id",
+                    "element": "string",
+                    "params": {"n": N_DOCS, "eps": 0.01}},
+                   {"name": "topk", "kind": "topk", "value_col": "tokens",
+                    "params": {"k": 5, "eps": 0.0001}},
+               ]).collect()}
+        hll_single = sketch_agg(corpus, "hll", "tokens", key_col="source",
+                                m=1024)
+        for r in hll_single.collect():
+            assert sketch_from_bytes(got[("hll", r["source"])]).equals(
+                sketch_from_bytes(bytes(r["state"])))
+        bloom_single = sketch_agg(corpus, "bloom", "doc_id",
+                                  element="string", n=N_DOCS, eps=0.01)
+        assert sketch_from_bytes(got[("bloom", None)]).equals(
+            sketch_from_bytes(bytes(bloom_single.collect()[0]["state"])))
+        topk_single = sketch_agg(corpus, "topk", "tokens", k=5, eps=0.0001)
+        assert sketch_from_bytes(got[("topk", None)]).equals(
+            sketch_from_bytes(bytes(topk_single.collect()[0]["state"])))
+
+
 class TestElementKinds:
     def test_token_array_element_dedup_semantics(self, spark, corpus):
         # whole-array membership: every full token array is in the bloom
