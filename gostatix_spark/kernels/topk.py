@@ -77,7 +77,17 @@ class IntCounts:
         self.counts = np.zeros(0, dtype=np.int64)
 
     def update(self, values: np.ndarray) -> None:
-        u2, c2 = np.unique(values, return_counts=True)
+        if len(values) == 0:
+            return
+        vmin = int(values.min())
+        vmax = int(values.max())
+        if vmax - vmin < (1 << 22):
+            # dense domain (e.g. token vocab): bincount beats sort ~10×
+            counts = np.bincount(values - vmin)
+            nz = np.nonzero(counts)[0]
+            u2, c2 = nz + vmin, counts[nz]
+        else:
+            u2, c2 = np.unique(values, return_counts=True)
         u = np.concatenate([self.uniq, u2])
         c = np.concatenate([self.counts, c2])
         uu, inv = np.unique(u, return_inverse=True)

@@ -21,7 +21,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "gostatix-spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              max_partition_bytes: str = "128m") -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -35,7 +36,7 @@ def get_spark(app: str = "gostatix-spark", cores: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
