@@ -24,7 +24,7 @@ from gostatix_spark import dedup, params, similarity, textstats
 from gostatix_spark.agg import cuckoo_build, sketch_agg
 from gostatix_spark.kernels.cuckoo import CuckooFilter
 from gostatix_spark.query import (bloom_contains, cms_counts, hll_estimate,
-                                  topk_values)
+                                  quantiles, topk_values)
 from gostatix_spark.state import sketch_from_bytes
 
 HLL_M = 4096
@@ -159,6 +159,44 @@ def q_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey bigint, contained boolean")
 
 
+def _quantile_gate(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Per-event-type quantile sketch; gate = the estimated quantile's
+    TRUE rank is within 0.05 of the requested q (the sketch's rank-error
+    guarantee, checked genuinely against the data)."""
+    events = _read(spark, sf_dir, "events")
+    states = sketch_agg(events, kind, "value", key_col="event_type")
+    est = quantiles(states, [0.1, 0.5, 0.9])
+    n_per = events.groupBy("event_type").agg(F.count("*").alias("_n"))
+    ranked = (est.alias("e")
+              .join(events.alias("ev"), "event_type")
+              .groupBy("event_type", "q", "quantile_value")
+              .agg(F.sum((F.col("ev.value") <= F.col("quantile_value"))
+                         .cast("long")).alias("_below"))
+              .join(n_per, "event_type"))
+    return (ranked
+            .select("event_type", "q",
+                    (F.abs(F.col("_below") / F.col("_n") - F.col("q"))
+                     <= 0.05).alias("within_bound"))
+            )
+
+
+def q_tdigest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles (north_rule sketch set) with rank-error gate."""
+    return _quantile_gate(spark, sf_dir, "tdigest")
+
+
+def q_kll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantiles (north_rule sketch set) with rank-error gate."""
+    return _quantile_gate(spark, sf_dir, "kll")
+
+
+def q_quantile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw t-digest quantile estimates (estimate-only → rows-only)."""
+    events = _read(spark, sf_dir, "events")
+    states = sketch_agg(events, "tdigest", "value", key_col="event_type")
+    return quantiles(states, [0.1, 0.5, 0.9])
+
+
 # ---------------------------------------------------------------------------
 # training-pipeline queries
 # ---------------------------------------------------------------------------
@@ -259,6 +297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "bloom_semijoin": q_bloom_semijoin,
         "cuckoo_membership": q_cuckoo_membership,
+        "tdigest_gate": q_tdigest_gate,
+        "kll_gate": q_kll_gate,
+        "quantile_values": q_quantile_values,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
@@ -314,6 +355,14 @@ def oracle_sql() -> dict[str, str]:
         "cuckoo_membership": (
             "SELECT s_suppkey, TRUE AS contained FROM supplier"
             " WHERE s_suppkey % 2 = 1"),
+        "tdigest_gate": (
+            "SELECT event_type, q, TRUE AS within_bound FROM events"
+            " CROSS JOIN (VALUES (0.1), (0.5), (0.9)) AS t(q)"
+            " GROUP BY event_type, q"),
+        "kll_gate": (
+            "SELECT event_type, q, TRUE AS within_bound FROM events"
+            " CROSS JOIN (VALUES (0.1), (0.5), (0.9)) AS t(q)"
+            " GROUP BY event_type, q"),
         "dedup_exact": (
             "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes FROM documents"
             " GROUP BY md5(lower(trim(text)))"),

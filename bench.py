@@ -154,8 +154,8 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
-        parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "64"))
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+        parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "128"))
         result["scaling"] = _run_scaling(n_docs, parts)
 
     print(json.dumps(result), flush=True)

@@ -43,7 +43,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from gostatix_spark import hashing, params
-from gostatix_spark.kernels import bloom, cms, cuckoo, hll, topk
+from gostatix_spark.kernels import bloom, cms, cuckoo, hll, kll, tdigest, topk
 from gostatix_spark.state import (BloomState, CMSState, CuckooState, HLLState,
                                   TopKState, sketch_from_bytes)
 
@@ -120,6 +120,8 @@ def element_values(arr: pa.Array, element: str):
         return values.astype(np.int64)
     if element in ("int32", "int64"):
         return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    if element == "float64":
+        return arr.to_numpy(zero_copy_only=False).astype(np.float64)
     return element_bytes(arr, element)
 
 
@@ -169,6 +171,8 @@ def infer_element(df: DataFrame, value_col: str, element: str | None) -> str:
         return "string"
     if dt == "binary":
         return "binary"
+    if dt in ("double", "float", "decimal"):
+        return "float64"
     raise ValueError(f"cannot infer element kind for column type {dt}")
 
 
@@ -216,6 +220,11 @@ class _Spec:
                                          "slack": p.get("slack", 4),
                                          "eps": p.get("eps", 0.0001),
                                          "fail_prob": p.get("fail_prob", 0.01)})
+        if kind == "tdigest":
+            return _Spec(kind, "metro", {"delta": p.get("delta", 200.0)})
+        if kind == "kll":
+            return _Spec(kind, "metro", {"k": p.get("k", 200),
+                                         "seed": p.get("seed", 42)})
         raise ValueError(f"sketch_agg does not handle kind {kind!r}"
                          " (use cuckoo_build for cuckoo)")
 
@@ -233,6 +242,11 @@ class _Spec:
             if self.element in ("tokens", "int32", "int64"):
                 return [topk.IntCounts(), 0]
             return [Counter(), 0]
+        if self.kind == "tdigest":
+            m, w = tdigest.new_state()
+            return [m, w, 0]
+        if self.kind == "kll":
+            return [kll.KLL(p["k"], p["seed"]), 0]
 
     element: str = "string"  # set by _build_partials before use
 
@@ -248,6 +262,13 @@ class _Spec:
             acc[1] += len(h1)
         elif self.kind == "topk":
             acc[0].update(elems)  # IntCounts (vectorized) or Counter
+            acc[1] += len(elems)
+        elif self.kind == "tdigest":
+            acc[0], acc[1] = tdigest.update_batch(acc[0], acc[1], elems,
+                                                  self.p["delta"])
+            acc[2] += len(elems)
+        elif self.kind == "kll":
+            acc[0].update_batch(elems)
             acc[1] += len(elems)
 
     def finalize(self, acc) -> tuple[bytes, int]:
@@ -268,15 +289,32 @@ class _Spec:
             st = TopKState(p["k"], p["eps"], p["fail_prob"],
                            CMSState(p["d"], p["w"], mat, total), cand)
             return st.to_bytes(), acc[1]
+        if self.kind == "tdigest":
+            return tdigest.to_bytes(acc[0], acc[1], acc[2], p["delta"]), acc[2]
+        if self.kind == "kll":
+            return acc[0].to_bytes(), acc[1]
 
     def needs_elements(self) -> bool:
-        return self.kind == "topk"
+        return self.kind in ("topk", "tdigest", "kll")
 
 
 def merge_sketch_states(blobs) -> bytes:
     """Fold a sequence of serialized sketch states with the kind's merge
     law. Works for any mix produced by the same spec; used by phase 2
     and by checkpoint resume."""
+    blobs = list(blobs)
+    if blobs[0][:4] == tdigest.MAGIC:
+        m, w, n, delta = tdigest.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            m2, w2, n2, _ = tdigest.from_bytes(b)
+            m, w = tdigest.merge((m, w), (m2, w2), delta)
+            n += n2
+        return tdigest.to_bytes(m, w, n, delta)
+    if blobs[0][:4] == kll.KLL.MAGIC:
+        acc = kll.KLL.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            acc = acc.merge(kll.KLL.from_bytes(b))
+        return acc.to_bytes()
     states = [sketch_from_bytes(b) for b in blobs]
     head = states[0]
     if isinstance(head, HLLState):

@@ -29,7 +29,7 @@ from gostatix_spark.state import (BloomState, CMSState, CuckooState, HLLState,
                                   TopKState, sketch_from_bytes)
 
 __all__ = ["hll_estimate", "cms_counts", "topk_values", "bloom_contains",
-           "cuckoo_contains", "cms_count_col", "hash_pandas"]
+           "cuckoo_contains", "cms_count_col", "quantiles", "hash_pandas"]
 
 
 def _hash_pd(s: pd.Series, element: str, algo: str):
@@ -141,6 +141,37 @@ def cms_counts(states: DataFrame, items: list, element: str = "string",
                 if c not in ("state", "n_items", "n_partials")]
     return (states.withColumn("_q", F.explode(q(F.col("state"))))
             .select(*key_cols, "_q.item", f"_q.{out_col}"))
+
+
+def quantiles(states: DataFrame, qs: list[float],
+              out_col: str = "quantile_value") -> DataFrame:
+    """[key?, state, ...] → exploded [key?, q, quantile_value] for
+    t-digest (GSKQ) or KLL (GSKL) states."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    from gostatix_spark.kernels import kll as kll_k
+    from gostatix_spark.kernels import tdigest as td_k
+
+    result_t = ArrayType(StructType([
+        StructField("q", DoubleType()), StructField(out_col, DoubleType())]))
+
+    @F.pandas_udf(result_t)
+    def qf(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            b = bytes(b)
+            if b[:4] == td_k.MAGIC:
+                m, w, _, _ = td_k.from_bytes(b)
+                vals = td_k.quantile(m, w, qs)
+            else:
+                vals = kll_k.KLL.from_bytes(b).quantile(qs)
+            out.append([{"q": float(q), out_col: float(v)}
+                        for q, v in zip(qs, vals)])
+        return pd.Series(out)
+
+    key_cols = [c for c in states.columns
+                if c not in ("state", "n_items", "n_partials")]
+    return (states.withColumn("_q", F.explode(qf(F.col("state"))))
+            .select(*key_cols, "_q.q", f"_q.{out_col}"))
 
 
 # ---------------------------------------------------------------------------
