@@ -29,7 +29,8 @@ from gostatix_spark.state import (BloomState, CMSState, CuckooState, HLLState,
                                   TopKState, sketch_from_bytes)
 
 __all__ = ["hll_estimate", "cms_counts", "topk_values", "bloom_contains",
-           "cuckoo_contains", "cms_count_col", "quantiles", "hash_pandas"]
+           "cuckoo_contains", "cms_count_col", "quantiles", "sketch_info",
+           "hash_pandas"]
 
 
 def _hash_pd(s: pd.Series, element: str, algo: str):
@@ -141,6 +142,89 @@ def cms_counts(states: DataFrame, items: list, element: str = "string",
                 if c not in ("state", "n_items", "n_partials")]
     return (states.withColumn("_q", F.explode(q(F.col("state"))))
             .select(*key_cols, "_q.item", f"_q.{out_col}"))
+
+
+def sketch_info(states: DataFrame) -> DataFrame:
+    """[key?, state, ...] → per-state parameters and health metrics —
+    the reference's accessor surface (``BloomPositiveRate``
+    ``bloom_filter.go:228-231``, ``Accuracy`` ``base_hyperloglog.go:66``,
+    ``CuckooPositiveRate`` ``base_cuckoo_filter.go:73-75``, CMS dims,
+    ``allSum``) as one DataFrame."""
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+    from gostatix_spark.kernels import kll as kll_k
+    from gostatix_spark.kernels import tdigest as td_k
+    from gostatix_spark.kernels.cuckoo import CuckooFilter
+
+    info_t = StructType([
+        StructField("kind", StringType()),
+        StructField("params", StringType()),       # json
+        StructField("fill_metric", DoubleType()),  # fpr / occupancy / etc
+        StructField("accuracy", DoubleType()),
+    ])
+
+    @F.pandas_udf(info_t)
+    def info(blobs: pd.Series) -> pd.DataFrame:
+        import json
+        import math
+        rows = []
+        for b in blobs:
+            b = bytes(b)
+            if b[:4] == td_k.MAGIC:
+                m, w, n, delta = td_k.from_bytes(b)
+                rows.append({"kind": "tdigest",
+                             "params": json.dumps({"delta": delta, "n": int(n)}),
+                             "fill_metric": float(len(m)),
+                             "accuracy": 1.0 / delta})
+                continue
+            if b[:4] == kll_k.KLL.MAGIC:
+                sk = kll_k.KLL.from_bytes(b)
+                rows.append({"kind": "kll",
+                             "params": json.dumps({"k": sk.k, "n": int(sk.n)}),
+                             "fill_metric": float(sum(len(lv) for lv in sk.levels)),
+                             "accuracy": 1.0 / sk.k})
+                continue
+            st = sketch_from_bytes(b)
+            if isinstance(st, BloomState):
+                rows.append({"kind": "bloom",
+                             "params": json.dumps({"m": st.m, "k": st.k,
+                                                   "n": st.n_items}),
+                             "fill_metric": bloom.positive_rate(st.words, st.k, st.m),
+                             "accuracy": float("nan")})
+            elif isinstance(st, HLLState):
+                rows.append({"kind": "hll",
+                             "params": json.dumps({"m": st.m, "n": st.n_items}),
+                             "fill_metric": float((st.registers > 0).mean()),
+                             "accuracy": 1.04 / math.sqrt(st.m)})
+            elif isinstance(st, CMSState):
+                rows.append({"kind": "cms",
+                             "params": json.dumps({"d": st.d, "w": st.w,
+                                                   "all_sum": st.all_sum}),
+                             "fill_metric": float((st.matrix > 0).mean()),
+                             "accuracy": math.e / st.w})
+            elif isinstance(st, TopKState):
+                rows.append({"kind": "topk",
+                             "params": json.dumps({"k": st.k,
+                                                   "candidates": len(st.candidates)}),
+                             "fill_metric": float(st.cms.all_sum),
+                             "accuracy": st.error_rate})
+            elif isinstance(st, CuckooState):
+                f = CuckooFilter(st.size, st.bucket_size, st.fp_len,
+                                 buckets=st.buckets, length=st.length)
+                occ = st.length / (st.size * st.bucket_size)
+                rows.append({"kind": "cuckoo",
+                             "params": json.dumps({"size": st.size,
+                                                   "bucket_size": st.bucket_size,
+                                                   "fp_len": st.fp_len,
+                                                   "length": st.length}),
+                             "fill_metric": occ,
+                             "accuracy": f.positive_rate()})
+        return pd.DataFrame(rows)
+
+    key_cols = [c for c in states.columns
+                if c not in ("state", "n_items", "n_partials")]
+    return (states.withColumn("_i", info(F.col("state")))
+            .select(*key_cols, "_i.kind", "_i.params", "_i.fill_metric",
+                    "_i.accuracy"))
 
 
 def quantiles(states: DataFrame, qs: list[float],
