@@ -29,6 +29,10 @@ def _run_driver_queries(sf_dir: str, cores: int) -> tuple[dict, float]:
     from gostatix_spark.session import get_spark
 
     spark = get_spark("bench-queries", cores=cores)
+    # warm JVM + python workers so the first timed query isn't charged
+    # the session spin-up
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    entrymod.q_hll_users(spark, sf_dir).count()
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():

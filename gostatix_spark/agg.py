@@ -641,7 +641,23 @@ def multi_sketch_agg(df: DataFrame, jobs: list[dict],
             "key": pdf["key"].iloc[0],
             "state": blob,
             "n_items": int(pdf["n_items"].sum()),
-            "n_partials": len(pdf)}])
+            "n_partials": int(pdf["n_partials"].sum()
+                              if "n_partials" in pdf else len(pdf))}])
+
+    if tree_fanout:
+        inter_schema = StructType(list(merge_schema.fields)
+                                  + [StructField("_salt", IntegerType(), False)])
+
+        def inter_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = merge_fn(pdf)
+            out["_salt"] = int(pdf["_salt"].iloc[0])
+            return out
+
+        partials = (partials
+                    .withColumn("_salt", (F.col("partition_id") % tree_fanout)
+                                .cast("int"))
+                    .groupBy("sketch_name", "key", "_salt")
+                    .applyInPandas(inter_fn, inter_schema))
 
     grouped = partials.groupBy("sketch_name", "key")
     return grouped.applyInPandas(merge_fn, merge_schema)

@@ -109,6 +109,19 @@ class BloomState:
         return (self.m == other.m and self.k == other.k
                 and np.array_equal(self.words, other.words))
 
+    def to_reference_binary(self) -> bytes:
+        """The reference's ``WriteTo`` stream — ``bloom_filter.go:279-293``:
+        uint64-BE size, uint64-BE numHashes, then the bits-and-blooms
+        bitset stream (uint64-BE bit length + big-endian words)."""
+        return (struct.pack(">QQQ", self.m, self.k, self.m)
+                + self.words.astype(">u8").tobytes())
+
+    @classmethod
+    def from_reference_binary(cls, buf: bytes) -> "BloomState":
+        m, k, nbits = struct.unpack_from(">QQQ", buf)
+        words = np.frombuffer(buf, ">u8", (nbits + 63) // 64, 24).astype(np.uint64)
+        return cls(m, k, words)
+
 
 @dataclass
 class HLLState:
@@ -144,6 +157,21 @@ class HLLState:
         off-by-one quirk ``hyperloglog.go:94``, SURVEY.md §1.6.2)."""
         return self.m == other.m and np.array_equal(self.registers, other.registers)
 
+    def to_reference_binary(self) -> bytes:
+        """``hyperloglog.go:124-142`` WriteTo: uint64-BE numRegisters,
+        uint64-BE numBytesPerHash, float64-BE correctionBias, raw
+        register bytes."""
+        import math
+        return (struct.pack(">QQd", self.m, int(math.log2(self.m)),
+                            hll_alpha(self.m))
+                + self.registers.tobytes())
+
+    @classmethod
+    def from_reference_binary(cls, buf: bytes) -> "HLLState":
+        m, _, _ = struct.unpack_from(">QQd", buf)
+        regs = np.frombuffer(buf, np.uint8, m, 24).copy()
+        return cls(m, regs)
+
 
 @dataclass
 class CMSState:
@@ -176,6 +204,18 @@ class CMSState:
     def equals(self, other: "CMSState") -> bool:
         return (self.d == other.d and self.w == other.w
                 and np.array_equal(self.matrix, other.matrix))
+
+    def to_reference_binary(self) -> bytes:
+        """``count_min_sketch.go:156-180`` WriteTo: uint64-BE rows,
+        columns, allSum, then the matrix row-major as uint64-BE."""
+        return (struct.pack(">QQQ", self.d, self.w, self.all_sum)
+                + self.matrix.astype(">u8").tobytes())
+
+    @classmethod
+    def from_reference_binary(cls, buf: bytes) -> "CMSState":
+        d, w, s = struct.unpack_from(">QQQ", buf)
+        mat = np.frombuffer(buf, ">u8", d * w, 24).astype(np.uint64).reshape(d, w)
+        return cls(d, w, mat, s)
 
 
 @dataclass

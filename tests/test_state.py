@@ -68,6 +68,36 @@ def test_topk_roundtrip():
         assert s.equals(s2)
 
 
+def test_reference_binary_roundtrips():
+    """WriteTo/ReadFrom stream format parity (big-endian headers +
+    payload exactly as bloom_filter.go:279-320, hyperloglog.go:124-172,
+    count_min_sketch.go:156-218)."""
+    words = bloom.new_state(128)
+    h1, h2 = H.hash_tokens(np.arange(20, dtype=np.int32), "metro")
+    bloom.insert_batch(words, h1, h2, 4, 128)
+    b = state.BloomState(128, 4, words)
+    rb = b.to_reference_binary()
+    # header fields are BE uint64s in reference order
+    import struct
+    assert struct.unpack_from(">QQQ", rb) == (128, 4, 128)
+    assert state.BloomState.from_reference_binary(rb).equals(b)
+
+    reg = hll.new_state(64)
+    hll.update_batch(reg, h1)
+    hs = state.HLLState(64, reg)
+    rh = hs.to_reference_binary()
+    assert struct.unpack_from(">QQ", rh)[:2] == (64, 6)
+    assert state.HLLState.from_reference_binary(rh).equals(hs)
+
+    mat = cms.new_state(2, 50)
+    total = cms.update_batch(mat, h1, h2)
+    cs = state.CMSState(2, 50, mat, total)
+    rc = cs.to_reference_binary()
+    assert struct.unpack_from(">QQQ", rc) == (2, 50, total)
+    back = state.CMSState.from_reference_binary(rc)
+    assert back.equals(cs) and back.all_sum == total
+
+
 def test_cuckoo_roundtrip():
     from gostatix_spark.kernels.cuckoo import CuckooFilter
     f = CuckooFilter(size=16, bucket_size=2, fp_len=2, seed=5)
