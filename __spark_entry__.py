@@ -256,6 +256,35 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.content_fingerprint(docs, "text", "doc_id")
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.scrub_pii(docs, "text", "doc_id")
+
+
+def q_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed sketch: distinct users per (event_type, hour) —
+    composite key demo; gate = estimates within the published bound
+    (estimates themselves are rows-only; the gate has an oracle)."""
+    events = _read(spark, sf_dir, "events").withColumn(
+        "etype_hour", F.concat_ws("|", "event_type",
+                                  F.date_format(F.date_trunc("hour", "ts"),
+                                                "yyyy-MM-dd HH")))
+    states = sketch_agg(events, "hll", "user_id", key_col="etype_hour", m=4096)
+    est = hll_estimate(states).select("etype_hour", "est_distinct")
+    exact = events.groupBy("etype_hour").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    # 1.04/√m is an asymptotic std error; for tiny per-window counts a
+    # single register collision dominates, so gate on
+    # |err| ≤ max(3·acc·exact, 3) — relative for large n, absolute ±3
+    # (collision noise) for small n
+    bound = 3 * params.hll_accuracy(4096)
+    tol = F.greatest(F.col("exact_distinct") * bound, F.lit(3.0))
+    return (est.join(exact, "etype_hour")
+            .select("etype_hour",
+                    (F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                     <= tol).alias("within_bound")))
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling murmur3 k-grams) — rows-only."""
     docs = _read(spark, sf_dir, "documents")
@@ -308,6 +337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "scrub_pii": q_scrub_pii,
+        "windowed_hll_gate": q_windowed_hll,
         "winnowing": q_winnowing,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -414,6 +445,21 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(lower(trim(text))) AS fingerprint"
             " FROM documents"),
+        "scrub_pii": (
+            "SELECT doc_id, "
+            + "regexp_replace(regexp_replace(regexp_replace(text, "
+            + f"'{textstats.PII_PATTERNS['email']}', '<EMAIL>', 'g'), "
+            + f"'{textstats.PII_PATTERNS['phone']}', '<PHONE>', 'g'), "
+            + f"'{textstats.PII_PATTERNS['ssn']}', '<SSN>', 'g') AS scrubbed, "
+            + ", ".join(
+                f"len(regexp_split_to_array(text, "
+                f"'{textstats.PII_PATTERNS[k]}')) - 1 AS n_{k}"
+                for k in sorted(textstats.PII_PATTERNS))
+            + " FROM documents"),
+        "windowed_hll_gate": (
+            "SELECT DISTINCT event_type || '|' || "
+            "strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS etype_hour, "
+            "TRUE AS within_bound FROM events"),
         "ann_bruteforce": ("""
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
                        FROM embeddings WHERE vec_id < 3),

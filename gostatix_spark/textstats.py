@@ -22,7 +22,16 @@ from pyspark.sql.types import ArrayType, LongType
 from gostatix_spark import hashing
 
 __all__ = ["quality_features", "language_id", "token_stats",
-           "content_fingerprint", "winnowing_fingerprints", "STOPWORDS"]
+           "content_fingerprint", "winnowing_fingerprints", "scrub_pii",
+           "STOPWORDS"]
+
+# deliberately simple character classes — identical semantics in Java
+# regex (Spark) and RE2 (DuckDB), so the op is oracle-checkable
+PII_PATTERNS = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone": "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
 
 # tiny per-language stopword marker sets (heuristic language ID)
 STOPWORDS = {
@@ -100,6 +109,22 @@ def content_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col),
                      F.md5(F.lower(F.trim(F.col(text_col))))
                      .alias("fingerprint"))
+
+
+def scrub_pii(df: DataFrame, text_col: str, id_col: str,
+              out_col: str = "scrubbed") -> DataFrame:
+    """Redact common PII patterns (emails, phone numbers, SSNs) with
+    typed placeholders and count redactions per kind — a standard
+    training-data hygiene pass, pure JVM ``regexp_replace``."""
+    t = F.col(text_col)
+    scrubbed = t
+    counts = []
+    for kind in sorted(PII_PATTERNS):
+        pat = PII_PATTERNS[kind]
+        counts.append(
+            (F.size(F.split(t, pat)) - 1).alias(f"n_{kind}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return df.select(F.col(id_col), scrubbed.alias(out_col), *counts)
 
 
 def winnowing_fingerprints(df: DataFrame, text_col: str, id_col: str,
