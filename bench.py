@@ -53,6 +53,9 @@ def _sketch_build_job(spark, corpus, n_docs: int) -> dict:
     cuckoo shard build (its own scan — it shuffles element hashes)."""
     from gostatix_spark.agg import cuckoo_build, multi_sketch_agg
 
+    from pyspark.sql import functions as F
+
+    corpus = corpus.withColumn("n_tok_d", F.col("n_tok").cast("double"))
     t0 = time.perf_counter()
     states = multi_sketch_agg(corpus, [
         {"name": "hll", "kind": "hll", "value_col": "tokens",
@@ -63,6 +66,10 @@ def _sketch_build_job(spark, corpus, n_docs: int) -> dict:
          "element": "string", "params": {"n": n_docs, "eps": 0.01}},
         {"name": "topk", "kind": "topk", "value_col": "tokens",
          "params": {"k": 100, "eps": 0.0001}},
+        {"name": "tdigest", "kind": "tdigest", "value_col": "n_tok_d",
+         "key_col": "source", "params": {}},
+        {"name": "kll", "kind": "kll", "value_col": "n_tok_d",
+         "key_col": "source", "params": {}},
     ])
     n_states = states.count()
     cuckoo_states = cuckoo_build(corpus, "doc_id", element="string",

@@ -270,6 +270,43 @@ class TopKState:
         return (self.k == other.k and self.cms.equals(other.cms)
                 and self.candidates == other.candidates)
 
+    def to_reference_binary(self) -> bytes:
+        """``top_k.go:216-251`` WriteTo: uint64-BE k, float64-BE
+        errorRate, float64-BE accuracy, CMS stream, then exactly k heap
+        entries (uint64-BE strlen, bytes, uint64-BE frequency). Our top
+        k candidates (count desc, element asc) fill the heap slots."""
+        from gostatix_spark.kernels import topk as topk_kernel
+        out = [struct.pack(">Qdd", self.k, self.error_rate, self.accuracy),
+               self.cms.to_reference_binary()]
+        top = topk_kernel.final_values(self.cms.matrix, self.candidates,
+                                       self.k, exact=True)
+        for e, c in top:
+            out.append(struct.pack(">Q", len(e)) + e + struct.pack(">Q", c))
+        # reference writes exactly k entries; pad with empties if fewer
+        for _ in range(self.k - len(top)):
+            out.append(struct.pack(">Q", 0) + struct.pack(">Q", 0))
+        return b"".join(out)
+
+    @classmethod
+    def from_reference_binary(cls, buf: bytes) -> "TopKState":
+        k, er, acc = struct.unpack_from(">Qdd", buf)
+        off = struct.calcsize(">Qdd")
+        d, w, _ = struct.unpack_from(">QQQ", buf, off)
+        cms_len = 24 + d * w * 8
+        cms_state = CMSState.from_reference_binary(buf[off:off + cms_len])
+        off += cms_len
+        cands: dict[bytes, int] = {}
+        for _ in range(k):
+            (ln,) = struct.unpack_from(">Q", buf, off)
+            off += 8
+            e = buf[off:off + ln]
+            off += ln
+            (c,) = struct.unpack_from(">Q", buf, off)
+            off += 8
+            if ln:
+                cands[e] = c
+        return cls(k, er, acc, cms_state, cands)
+
 
 @dataclass
 class CuckooState:
@@ -318,3 +355,36 @@ class CuckooState:
         return (self.buckets.shape == other.buckets.shape
                 and bool((np.sort(self.buckets, axis=1)
                           == np.sort(other.buckets, axis=1)).all()))
+
+    def _fp_str(self, v: int) -> bytes:
+        return str(int(v) - 1).rjust(self.fp_len, "0").encode("ascii")
+
+    def to_reference_binary(self) -> bytes:
+        """``cuckoo_filter.go:223-253`` WriteTo: five uint64-BE params
+        (size, bucketSize, fpLen, length, retries), then per bucket
+        (``bucket_mem.go:116-139``): uint64-BE size, uint64-BE length,
+        then each occupied slot as uint64-BE strlen + fingerprint
+        chars."""
+        out = [struct.pack(">QQQQQ", self.size, self.bucket_size,
+                           self.fp_len, self.length, self.retries)]
+        for row in self.buckets:
+            elems = [self._fp_str(v) for v in row if v != 0]
+            out.append(struct.pack(">QQ", self.bucket_size, len(elems)))
+            for e in elems:
+                out.append(struct.pack(">Q", len(e)) + e)
+        return b"".join(out)
+
+    @classmethod
+    def from_reference_binary(cls, buf: bytes) -> "CuckooState":
+        size, bs, fpl, ln, r = struct.unpack_from(">QQQQQ", buf)
+        off = 40
+        buckets = np.zeros((size, bs), dtype=np.uint64)
+        for i in range(size):
+            _, blen = struct.unpack_from(">QQ", buf, off)
+            off += 16
+            for j in range(blen):
+                (sl,) = struct.unpack_from(">Q", buf, off)
+                off += 8
+                buckets[i, j] = int(buf[off:off + sl]) + 1
+                off += sl
+        return cls(size, bs, fpl, r, ln, buckets)

@@ -98,6 +98,24 @@ def test_reference_binary_roundtrips():
     assert back.equals(cs) and back.all_sum == total
 
 
+def test_topk_cuckoo_reference_binary():
+    from gostatix_spark.kernels.cuckoo import CuckooFilter
+
+    mat = cms.new_state(2, 100)
+    s = state.TopKState(3, 0.001, 0.999, state.CMSState(2, 100, mat, 10),
+                        {b"apple": 6, b"fig": 3, b"kiwi": 1})
+    back = state.TopKState.from_reference_binary(s.to_reference_binary())
+    assert back.k == 3 and back.cms.equals(s.cms)
+    assert back.candidates == s.candidates
+
+    f = CuckooFilter(size=8, bucket_size=2, fp_len=2, seed=5)
+    for w in (b"foo", b"bar", b"baz"):
+        f.insert(w)
+    cs = state.CuckooState(8, 2, 2, 500, f.length, f.buckets)
+    back = state.CuckooState.from_reference_binary(cs.to_reference_binary())
+    assert back.equals(cs) and back.length == 3 and back.fp_len == 2
+
+
 def test_cuckoo_roundtrip():
     from gostatix_spark.kernels.cuckoo import CuckooFilter
     f = CuckooFilter(size=16, bucket_size=2, fp_len=2, seed=5)
