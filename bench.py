@@ -124,8 +124,10 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                               shuffle_partitions=max(32, cores),
                               max_partition_bytes=f"{mpb}m")
             corpus = spark.read.parquet(corpus_path)
-            # warmup: full scan primes OS page cache, JVM, python workers
+            # warmup: full scan primes OS page cache + JVM; a small
+            # untimed build primes the python workers' numpy path
             n_tokens = corpus.select(F.sum("n_tok")).collect()[0][0]
+            _sketch_build_job(spark, corpus.limit(20000), 20000)
             walls = []
             for _ in range(reps):
                 walls.append(_sketch_build_job(spark, corpus, n_docs)["wall_sec"])

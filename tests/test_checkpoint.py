@@ -25,6 +25,7 @@ def corpus(spark):
     ("hll", {"m": 1024}),
     ("cms", {"d": 3, "w": 500}),
     ("bloom", {"n": 1200, "eps": 0.01}),
+    ("topk", {"k": 5, "eps": 0.0001}),
 ])
 def test_resume_equals_uninterrupted(spark, corpus, kind, params):
     straight = sketch_agg(corpus, kind, "tokens", key_col="source", **params)
