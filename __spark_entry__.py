@@ -217,8 +217,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (LSH recall is
-    probabilistic → rows-only check; precision is exact by construction)."""
-    docs = _read(spark, sf_dir, "documents")
+    probabilistic → rows-only check; precision is exact by construction).
+    The sf tables are single parquet files, so the signature scan is
+    repartitioned to parallelize the UDF."""
+    docs = _read(spark, sf_dir, "documents").repartition(32)
     return (dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5,
                                       num_perm=64, bands=16)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
@@ -227,7 +229,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3, pigeonhole-complete) —
     hash-defined, not SQL-expressible → rows-only."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents").repartition(32)
     sims = dedup.simhash(docs, "text", "doc_id")
     return dedup.simhash_near_pairs(sims, max_hamming=3)
 

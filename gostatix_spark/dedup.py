@@ -83,19 +83,42 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str,
 
 
 def _shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
-    """Per-doc array of distinct murmur3-h1 hashes of the k-char shingles.
-    Vectorized: one fixed-width (n_shingles, k) byte matrix per doc batch."""
-    out = []
-    for t in texts:
-        b = t.encode("utf-8").lower() if isinstance(t, str) else bytes(t)
+    """Per-doc array of distinct murmur3-h1 hashes of the k-char
+    shingles. Vectorized across the WHOLE batch: all docs' shingle
+    windows are gathered into one (total_shingles, k) byte matrix and
+    hashed in a single kernel call; per-doc work is just the final
+    np.unique split."""
+    bufs = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = t.lower().encode("utf-8") if isinstance(t, str) else bytes(t)
         if len(b) < k:
             b = b.ljust(k, b" ")
-        arr = np.frombuffer(b, dtype=np.uint8)
-        n = len(arr) - k + 1
-        mat = arr[np.arange(n)[:, None] + np.arange(k)[None, :]]
-        h1, _ = hashing.murmur3_128_vec(mat, 0)
-        out.append(np.unique(h1))
+        bufs.append(b)
+        lens[i] = len(b)
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    n_shingles = lens - k + 1
+    # absolute start index of every shingle window across all docs
+    win_starts = (np.repeat(starts, n_shingles)
+                  + _concat_aranges(n_shingles))
+    mat = flat[win_starts[:, None] + np.arange(k)[None, :]]
+    h1, _ = hashing._VEC["murmur3"](mat, 0)
+    out = []
+    offs = np.concatenate(([0], np.cumsum(n_shingles)))
+    for i in range(len(texts)):
+        out.append(np.unique(h1[offs[i]:offs[i + 1]]))
     return out
+
+
+def _concat_aranges(counts: np.ndarray) -> np.ndarray:
+    """[arange(c) for c in counts] concatenated, vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    idx = np.arange(total)
+    return idx - np.repeat(ends - counts, counts)
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
@@ -161,7 +184,10 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     Output: [id_a, id_b, jaccard] with jaccard ≥ threshold. Exactness
     of the verify step means the pipeline can only *miss* pairs
     (LSH/prefilter recall), never emit a false positive."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    # signatures feed the LSH join AND both sides of the prefilter —
+    # persist so the UDF runs once per row, not once per consumer
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
+                              seed).persist()
     cands = lsh_candidate_pairs(sigs, bands, num_perm=num_perm)
     # JVM prefilter: fraction of agreeing permutations estimates Jaccard;
     # exact-verify only pairs estimated ≥ ~threshold (small slack for
@@ -244,6 +270,7 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
     """
     if n_chunks is None:
         n_chunks = min(16, max_hamming + 1)
+    sims = sims.persist()  # reused by both sides of n_chunks joins
     bounds = np.linspace(0, 64, n_chunks + 1).astype(int)
     chunk_cols = []
     for i in range(n_chunks):
