@@ -25,7 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_table", "snapshot_id"]
+__all__ = ["read_table", "snapshot_id", "save_sketches", "load_sketches"]
 
 
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
@@ -36,6 +36,32 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
         return spark.read.format("iceberg").load(ref)
     except Exception:
         return spark.read.parquet(ref)
+
+
+def save_sketches(states: DataFrame, path: str, *, kind: str,
+                  source_ref: str | None = None,
+                  mode: str = "overwrite") -> None:
+    """Persist a final sketch table (the sink of a build). Adds
+    metadata columns (``sketch_kind``, ``built_at_snapshot``) so a
+    reader knows which input snapshot the sketches summarize."""
+    from pyspark.sql import functions as F
+    out = states.withColumn("sketch_kind", F.lit(kind))
+    if source_ref is not None:
+        out = out.withColumn(
+            "built_at_snapshot",
+            F.lit(snapshot_id(states.sparkSession, source_ref)))
+    out.write.mode(mode).parquet(path)
+
+
+def load_sketches(spark: SparkSession, path: str,
+                  kind: str | None = None) -> DataFrame:
+    """Load a sketch table written by :func:`save_sketches` — the
+    analog of the reference's ``*FromKey`` constructors
+    (``bloom_filter.go:124-139``)."""
+    df = spark.read.parquet(path)
+    if kind is not None:
+        df = df.where(df["sketch_kind"] == kind)
+    return df
 
 
 def snapshot_id(spark: SparkSession, ref: str) -> int:

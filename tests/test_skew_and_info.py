@@ -68,3 +68,20 @@ def test_read_table_fallback_and_snapshot(spark, tmp_path):
     s1 = snapshot_id(spark, p)
     s2 = snapshot_id(spark, p)
     assert s1 == s2 and s1 > 0
+
+
+def test_sketch_sink_roundtrip(spark, tmp_path):
+    from gostatix_spark.query import hll_estimate
+    from gostatix_spark.sources import load_sketches, save_sketches
+
+    src = str(tmp_path / "src")
+    corpus_df(spark, 300, seed=4, partitions=2).write.parquet(src)
+    states = sketch_agg(read_table(spark, src), "hll", "tokens",
+                        key_col="source", m=512)
+    out = str(tmp_path / "sketches")
+    save_sketches(states, out, kind="hll", source_ref=src)
+    back = load_sketches(spark, out, kind="hll")
+    assert {"sketch_kind", "built_at_snapshot"} <= set(back.columns)
+    a = {r["source"]: r["est_distinct"] for r in hll_estimate(states).collect()}
+    b = {r["source"]: r["est_distinct"] for r in hll_estimate(back).collect()}
+    assert a == b
