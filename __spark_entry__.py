@@ -267,11 +267,12 @@ def q_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-windowed sketch: distinct users per (event_type, hour) —
     composite key demo; gate = estimates within the published bound
     (estimates themselves are rows-only; the gate has an oracle)."""
-    events = _read(spark, sf_dir, "events").withColumn(
+    events = _read(spark, sf_dir, "events").repartition(32).withColumn(
         "etype_hour", F.concat_ws("|", "event_type",
                                   F.date_format(F.date_trunc("hour", "ts"),
                                                 "yyyy-MM-dd HH")))
-    states = sketch_agg(events, "hll", "user_id", key_col="etype_hour", m=4096)
+    states = sketch_agg(events, "hll", "user_id", key_col="etype_hour",
+                        m=4096, merge_buckets=32)
     est = hll_estimate(states).select("etype_hour", "est_distinct")
     exact = events.groupBy("etype_hour").agg(
         F.countDistinct("user_id").alias("exact_distinct"))

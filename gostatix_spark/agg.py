@@ -386,6 +386,10 @@ def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
             return
         accs: dict = {}
         rows_by_key: dict = {}
+        # fine-grained-key fast path: one vectorized update per batch
+        # instead of a python loop over keys (see kernels.hll.KeyedHLL)
+        keyed_hll = (hll.KeyedHLL(spec.p["m"])
+                     if key_col and spec.kind == "hll" else None)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -408,6 +412,16 @@ def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
                 acc = accs.setdefault(None, spec.init())
                 spec.update(acc, h1, h2, elems)
                 rows_by_key[None] = rows_by_key.get(None, 0) + batch.num_rows
+            elif keyed_hll is not None:
+                keys = batch.column(key_col).to_pandas()
+                codes, uniques = pd.factorize(keys, sort=False)
+                ecodes = codes if rowmap is None else codes[rowmap]
+                keep = ecodes >= 0  # null keys dropped (as in loop path)
+                keyed_hll.update(list(uniques), ecodes[keep], h1[keep])
+                ru, rc = np.unique(codes[codes >= 0], return_counts=True)
+                for u, c in zip(ru.tolist(), rc.tolist()):
+                    k = uniques[u]
+                    rows_by_key[k] = rows_by_key.get(k, 0) + c
             else:
                 keys = batch.column(key_col).to_pandas()
                 codes, uniques = pd.factorize(keys, sort=False)
@@ -426,15 +440,23 @@ def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
                     spec.update(acc, h1[sel], h2[sel], grp)
                     rows_by_key[key] = rows_by_key.get(key, 0) + int(
                         (codes == g).sum())
-        if accs:
-            out_rows = []
-            for key, acc in accs.items():
-                blob, n_items = spec.finalize(acc)
-                row = {"state": blob, "n_items": n_items,
-                       "partition_id": pid, "rows_consumed": rows_by_key[key]}
-                if key_col:
-                    row[key_col] = key
-                out_rows.append(row)
+        out_rows = []
+        if keyed_hll is not None:
+            from gostatix_spark.state import HLLState
+            for key, regs, n_items in keyed_hll.states():
+                out_rows.append({
+                    key_col: key,
+                    "state": HLLState(spec.p["m"], regs, n_items).to_bytes(),
+                    "n_items": n_items, "partition_id": pid,
+                    "rows_consumed": rows_by_key[key]})
+        for key, acc in accs.items():
+            blob, n_items = spec.finalize(acc)
+            row = {"state": blob, "n_items": n_items,
+                   "partition_id": pid, "rows_consumed": rows_by_key[key]}
+            if key_col:
+                row[key_col] = key
+            out_rows.append(row)
+        if out_rows:
             yield from pa.Table.from_pylist(
                 out_rows, schema=_to_arrow_schema(out_schema)).to_batches()
 
@@ -452,7 +474,8 @@ def _to_arrow_schema(st: StructType) -> pa.Schema:
 
 
 def _merge_partials(partials: DataFrame, key_col: str | None,
-                    tree_fanout: int | None) -> DataFrame:
+                    tree_fanout: int | None,
+                    merge_buckets: int | None = None) -> DataFrame:
     key_cols = [key_col] if key_col else []
     out_fields = ([partials.schema[key_col]] if key_col else []) + [
         StructField("state", BinaryType(), False),
@@ -486,6 +509,26 @@ def _merge_partials(partials: DataFrame, key_col: str | None,
             inter_fn, inter_schema)
         partials = level1
 
+    if key_cols and merge_buckets:
+        # many-fine-grained-keys path: one applyInPandas call per key
+        # costs ~ms of pandas overhead; bucket keys by hash so each
+        # call merges ~n_keys/merge_buckets keys in a tight loop
+        def bucket_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for key, g in pdf.groupby(key_cols[0], dropna=False, sort=False):
+                rows.append({
+                    key_cols[0]: key,
+                    "state": merge_sketch_states(g["state"].tolist()),
+                    "n_items": int(g["n_items"].sum()),
+                    "n_partials": len(g)})
+            return pd.DataFrame(rows)
+
+        return (partials
+                .withColumn("_kb", F.pmod(F.hash(*key_cols),
+                                          F.lit(merge_buckets)))
+                .groupBy("_kb")
+                .applyInPandas(lambda pdf: bucket_merge(pdf), out_schema))
+
     if key_cols:
         return partials.groupBy(*key_cols).applyInPandas(merge_fn, out_schema)
 
@@ -507,6 +550,7 @@ def _merge_partials(partials: DataFrame, key_col: str | None,
 def sketch_agg(df: DataFrame, kind: str, value_col: str, *,
                key_col: str | None = None, element: str | None = None,
                tree_fanout: int | None = None,
+               merge_buckets: int | None = None,
                _return_partials: bool = False, **sketch_params) -> DataFrame:
     """Build one mergeable sketch per key over ``df[value_col]``.
 
@@ -523,7 +567,7 @@ def sketch_agg(df: DataFrame, kind: str, value_col: str, *,
     partials = _build_partials(df, spec, value_col, key_col, element)
     if _return_partials:
         return partials
-    return _merge_partials(partials, key_col, tree_fanout)
+    return _merge_partials(partials, key_col, tree_fanout, merge_buckets)
 
 
 def multi_sketch_agg(df: DataFrame, jobs: list[dict],

@@ -63,6 +63,53 @@ def update_batch(registers: np.ndarray, h1: np.ndarray) -> None:
         np.maximum.at(registers, idx, rank)
 
 
+class KeyedHLL:
+    """Many HLLs updated in ONE vectorized pass — for fine-grained keys
+    (e.g. sketch per (source, hour)) where a python loop per key per
+    Arrow batch would dominate. All keys' registers live in one
+    (n_slots, m) uint8 matrix; a batch update is a single
+    ``np.maximum.at`` on the flattened buffer with composite indices
+    ``slot·m + idx``."""
+
+    def __init__(self, m: int):
+        self.m = m
+        self.slots: dict = {}
+        self.mat = np.zeros((0, m), dtype=np.uint8)
+        self.n_items: dict = {}
+
+    def _slot(self, key) -> int:
+        s = self.slots.get(key)
+        if s is None:
+            s = len(self.slots)
+            self.slots[key] = s
+            if s >= len(self.mat):
+                grow = max(64, len(self.mat))
+                self.mat = np.vstack(
+                    [self.mat, np.zeros((grow, self.m), np.uint8)])
+        return s
+
+    def update(self, keys_unique, codes: np.ndarray, h1: np.ndarray) -> None:
+        """``codes[i]`` indexes ``keys_unique`` for element i."""
+        slot_of_code = np.array([self._slot(k) for k in keys_unique],
+                                dtype=np.int64)
+        slots = slot_of_code[codes]
+        idx, rank = index_and_rank(h1, self.m)
+        flat = self.mat.reshape(-1)
+        for s in range(0, len(h1), _CHUNK):
+            e = s + _CHUNK
+            np.maximum.at(flat, slots[s:e] * self.m + idx[s:e], rank[s:e])
+        uniq, cnt = np.unique(slots, return_counts=True)
+        inv_slot = {v: k for k, v in self.slots.items()}
+        for u, c in zip(uniq.tolist(), cnt.tolist()):
+            k = inv_slot[u]
+            self.n_items[k] = self.n_items.get(k, 0) + c
+
+    def states(self):
+        """Yields (key, registers_copy, n_items)."""
+        for k, s in self.slots.items():
+            yield k, self.mat[s].copy(), self.n_items.get(k, 0)
+
+
 def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Registerwise max — associative, commutative, idempotent
     (``hyperloglog.go:79-87``)."""
