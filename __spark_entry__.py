@@ -21,11 +21,12 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gostatix_spark import dedup, params, similarity, textstats
-from gostatix_spark.agg import cuckoo_build, sketch_agg
-from gostatix_spark.kernels.cuckoo import CuckooFilter
-from gostatix_spark.query import (bloom_contains, cms_counts, hll_estimate,
+from gostatix_spark.agg import (bloom_build_sharded, cuckoo_apply_removals,
+                                cuckoo_build, sketch_agg)
+from gostatix_spark.query import (bloom_contains, bloom_contains_sharded,
+                                  cms_counts, cuckoo_contains, hll_estimate,
                                   quantiles, topk_values)
-from gostatix_spark.state import sketch_from_bytes
+from gostatix_spark.sources import load_sketches, save_sketches
 
 HLL_M = 4096
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -101,9 +102,11 @@ def q_topk_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_partkeys_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference-semantics Top-K (counts are merged-CMS estimates) —
-    estimate-only → no oracle; ranking agreement is tested in
-    tests/test_agg_spark.py."""
+    """Reference-semantics Top-K (counts are merged-CMS estimates).
+    At driver-correctness scale (sf0.01) the CMS width dwarfs the
+    distinct-key count, so estimates are exact w.h.p. and the exact
+    GROUP BY oracles it (see oracle_sql); ε·N bounds at other scales
+    are tested in tests/test_agg_spark.py."""
     li = _read(spark, sf_dir, "lineitem")
     states = sketch_agg(li, "topk", "l_partkey", k=20, eps=0.0001, slack=8)
     return (topk_values(states, exact=False, decode="int64")
@@ -112,51 +115,81 @@ def q_topk_partkeys_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom over all document ids, probe the same ids: a Bloom filter
-    has NO false negatives, so `contained` is exactly TRUE for all."""
+    """SHARDED bloom over all document ids, probe the same ids: a Bloom
+    filter has NO false negatives, so `contained` is exactly TRUE for
+    all. The sharded build (8 shards here) is the n=10⁹ scale path —
+    no single filter blob ever exists; probes route by the shared
+    shard_of rule and broadcast 8 small blobs instead of one ~1 GB one."""
     docs = _read(spark, sf_dir, "documents")
     n = docs.count()
-    states = sketch_agg(docs, "bloom", "doc_id", n=max(n, 1), eps=0.01)
-    blob = bytes(states.collect()[0]["state"])
+    states = bloom_build_sharded(docs, "doc_id", n=max(n, 1), eps=0.01,
+                                 n_shards=8)
+    shard_map = {r["shard"]: bytes(r["state"]) for r in states.collect()}
     return docs.select("doc_id").withColumn(
-        "contained", bloom_contains(spark, blob, F.col("doc_id"), "int64"))
+        "contained", bloom_contains_sharded(spark, shard_map,
+                                            F.col("doc_id"), "int64",
+                                            n_shards=8))
 
 
 def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-accelerated semi join: prefilter orders by a bloom of the
-    selected customer keys, then exact semi join to drop the (possible)
-    false positives — result equals the plain semi join; the bloom
-    prunes the shuffle."""
+    """Bloom-accelerated semi join: prefilter orders by a SHARDED bloom
+    of the selected customer keys, then exact semi join to drop the
+    (possible) false positives — result equals the plain semi join; the
+    bloom prunes the shuffle."""
     orders = _read(spark, sf_dir, "orders")
     cust = _read(spark, sf_dir, "customer").where("c_custkey % 3 = 0")
     n = max(cust.count(), 1)
-    states = sketch_agg(cust, "bloom", "c_custkey", n=n, eps=0.01)
-    blob = bytes(states.collect()[0]["state"])
-    pre = orders.where(bloom_contains(spark, blob, F.col("o_custkey"), "int64"))
+    states = bloom_build_sharded(cust, "c_custkey", n=n, eps=0.01, n_shards=4)
+    shard_map = {r["shard"]: bytes(r["state"]) for r in states.collect()}
+    pre = orders.where(bloom_contains_sharded(
+        spark, shard_map, F.col("o_custkey"), "int64", n_shards=4))
     return (pre.join(cust, pre.o_custkey == cust.c_custkey, "left_semi")
             .select("o_orderkey"))
 
 
 def q_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cuckoo insert→remove→lookup: build over all supplier keys,
-    remove the even ones, probe the odd ones — no false negatives, so
-    `contained` is exactly TRUE."""
+    """Cuckoo insert→remove→lookup, FULLY DISTRIBUTED: sharded build
+    over all supplier keys, removals routed to their shards as a
+    DataFrame (vectorized batch-remove kernel, ``cuckoo_filter.go:
+    128-144`` semantics), probe the odd keys via the broadcast shard
+    states — no false negatives, so `contained` is exactly TRUE. No
+    element ever passes through the driver (the round-1 version
+    collected every key and removed in a Python loop)."""
     supp = _read(spark, sf_dir, "supplier")
-    states = cuckoo_build(supp, "s_suppkey", n_shards=1, eps=0.001)
-    st = sketch_from_bytes(bytes(states.collect()[0]["state"]))
-    filt = CuckooFilter(st.size, st.bucket_size, st.fp_len, st.retries,
-                        buckets=st.buckets, length=st.length)
-    keys = [r["s_suppkey"] for r in supp.select("s_suppkey").collect()]
-    for k in keys:
-        if k % 2 == 0:
-            filt.remove(int(k).to_bytes(8, "big", signed=True))
-    odd = sorted(k for k in keys if k % 2 == 1)
-    from gostatix_spark import hashing
-    h1, _ = hashing.hash_int64s(np.array(odd, dtype=np.int64), "murmur3")
-    hits = filt.lookup_hashes(h1)
-    return spark.createDataFrame(
-        [(int(k), bool(h)) for k, h in zip(odd, hits)],
-        "s_suppkey bigint, contained boolean")
+    n_shards = 4
+    states = cuckoo_build(supp, "s_suppkey", n_shards=n_shards, eps=0.001)
+    removals = supp.where("s_suppkey % 2 = 0").select("s_suppkey")
+    states = cuckoo_apply_removals(states, removals, "s_suppkey",
+                                   n_shards=n_shards)
+    shard_map = {r["shard"]: bytes(r["state"]) for r in states.collect()}
+    odd = supp.where("s_suppkey % 2 = 1").select("s_suppkey")
+    return odd.withColumn(
+        "contained", cuckoo_contains(spark, shard_map, F.col("s_suppkey"),
+                                     "int64", n_shards=n_shards))
+
+
+def q_sketch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistence round-trip: build a bloom → save_sketches (parquet
+    sink with sketch_kind + snapshot lineage) → load_sketches → probe
+    every inserted key through the LOADED state. Exercises the
+    Export/Import/WriteTo/ReadFrom analog surface
+    (``bloom_filter.go:124-139,246-320``) under the correctness gate:
+    no false negatives ⇒ `contained` is TRUE for every key."""
+    import shutil
+    import tempfile
+    cust = _read(spark, sf_dir, "customer")
+    n = cust.count()
+    states = sketch_agg(cust, "bloom", "c_custkey", n=max(n, 1), eps=0.01)
+    tmp = tempfile.mkdtemp(prefix="gsx_roundtrip_")
+    try:
+        path = f"{tmp}/bloom_states"
+        save_sketches(states, path, kind="bloom", source_ref=sf_dir)
+        loaded = load_sketches(spark, path, kind="bloom")
+        blob = bytes(loaded.collect()[0]["state"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return cust.select("c_custkey").withColumn(
+        "contained", bloom_contains(spark, blob, F.col("c_custkey"), "int64"))
 
 
 def _quantile_gate(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
@@ -329,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "bloom_semijoin": q_bloom_semijoin,
         "cuckoo_membership": q_cuckoo_membership,
+        "sketch_roundtrip": q_sketch_roundtrip,
         "tdigest_gate": q_tdigest_gate,
         "kll_gate": q_kll_gate,
         "quantile_values": q_quantile_values,
@@ -389,6 +423,17 @@ def oracle_sql() -> dict[str, str]:
         "cuckoo_membership": (
             "SELECT s_suppkey, TRUE AS contained FROM supplier"
             " WHERE s_suppkey % 2 = 1"),
+        "sketch_roundtrip": (
+            "SELECT c_custkey, TRUE AS contained FROM customer"),
+        # CMS-estimate Top-K: at sf0.01 w=27183 ≫ ~2k distinct partkeys,
+        # so the min-over-d=5-rows estimate equals the exact count with
+        # overwhelming probability (all-5-row collision odds ≈ 4e-3 for
+        # the whole key set) — the exact GROUP BY is a valid oracle at
+        # this scale, putting T5/M4 merge semantics under the hard gate
+        "topk_partkeys_cms": (
+            "SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_partkey ASC)"
+            " AS rank, l_partkey, COUNT(*) AS cnt FROM lineitem"
+            " GROUP BY l_partkey ORDER BY cnt DESC, l_partkey ASC LIMIT 20"),
         "tdigest_gate": (
             "SELECT event_type, q, TRUE AS within_bound FROM events"
             " CROSS JOIN (VALUES (0.1), (0.5), (0.9)) AS t(q)"

@@ -39,8 +39,8 @@ import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (BinaryType, BooleanType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 from gostatix_spark import hashing, params
 from gostatix_spark.kernels import bloom, cms, cuckoo, hll, kll, tdigest, topk
@@ -48,6 +48,7 @@ from gostatix_spark.state import (BloomState, CMSState, CuckooState, HLLState,
                                   TopKState, sketch_from_bytes)
 
 __all__ = ["sketch_agg", "multi_sketch_agg", "cuckoo_build",
+           "cuckoo_apply_removals", "bloom_build_sharded",
            "merge_sketch_states"]
 
 
@@ -418,10 +419,10 @@ def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
                 ecodes = codes if rowmap is None else codes[rowmap]
                 keep = ecodes >= 0  # null keys dropped (as in loop path)
                 keyed_hll.update(list(uniques), ecodes[keep], h1[keep])
-                ru, rc = np.unique(codes[codes >= 0], return_counts=True)
-                for u, c in zip(ru.tolist(), rc.tolist()):
+                rc = np.bincount(codes[codes >= 0], minlength=len(uniques))
+                for u in np.nonzero(rc)[0].tolist():
                     k = uniques[u]
-                    rows_by_key[k] = rows_by_key.get(k, 0) + c
+                    rows_by_key[k] = rows_by_key.get(k, 0) + int(rc[u])
             else:
                 keys = batch.column(key_col).to_pandas()
                 codes, uniques = pd.factorize(keys, sort=False)
@@ -429,6 +430,9 @@ def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
                 order = np.argsort(ecodes, kind="stable")
                 bounds = np.searchsorted(ecodes[order], np.arange(len(uniques)))
                 bounds = np.append(bounds, len(ecodes))
+                # one O(rows) pass instead of an O(keys·rows) scan-per-key
+                row_counts = np.bincount(codes[codes >= 0],
+                                         minlength=len(uniques))
                 for g, key in enumerate(uniques):
                     sel = order[bounds[g]:bounds[g + 1]]
                     acc = accs.setdefault(key, spec.init())
@@ -439,7 +443,7 @@ def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
                         grp = None
                     spec.update(acc, h1[sel], h2[sel], grp)
                     rows_by_key[key] = rows_by_key.get(key, 0) + int(
-                        (codes == g).sum())
+                        row_counts[g])
         out_rows = []
         if keyed_hll is not None:
             from gostatix_spark.state import HLLState
@@ -649,6 +653,8 @@ def multi_sketch_agg(df: DataFrame, jobs: list[dict],
                     bounds = np.searchsorted(ecodes[order],
                                              np.arange(len(uniques)))
                     bounds = np.append(bounds, len(ecodes))
+                    row_counts = np.bincount(codes[codes >= 0],
+                                             minlength=len(uniques))
                     for g, key in enumerate(uniques):
                         sel = order[bounds[g]:bounds[g + 1]]
                         acc = accs.setdefault((name, str(key)), spec.init())
@@ -658,7 +664,7 @@ def multi_sketch_agg(df: DataFrame, jobs: list[dict],
                                    else [elems[i] for i in sel])
                         spec.update(acc, h1[sel], h2[sel], grp)
                         rows_seen[(name, str(key))] = rows_seen.get(
-                            (name, str(key)), 0) + int((codes == g).sum())
+                            (name, str(key)), 0) + int(row_counts[g])
         if accs:
             out = []
             for (name, key), acc in accs.items():
@@ -707,6 +713,60 @@ def multi_sketch_agg(df: DataFrame, jobs: list[dict],
     return grouped.applyInPandas(merge_fn, merge_schema)
 
 
+def _element_hashes_df(df: DataFrame, value_col: str, key_col: str | None,
+                       element: str, n_shards: int) -> DataFrame:
+    """Phase-1 hash extraction shared by the cuckoo build / remove / probe
+    paths: ``[key?, h1 long, shard int, _real bool]`` where ``shard =
+    shard_of(h1, n_shards)`` (splitmix-mixed — see
+    :func:`gostatix_spark.hashing.shard_of`; raw ``h1 % n_shards`` would
+    share low bits with the in-filter addressing ``i1 = h1 % size``,
+    leaving only 1/n_shards of each shard's buckets reachable).
+    ``_real`` is always TRUE here; sentinel rows union FALSE."""
+    key_cols = [key_col] if key_col else []
+    hash_schema = StructType(
+        ([df.schema[key_col]] if key_col else [])
+        + [StructField("h1", LongType(), False),
+           StructField("shard", IntegerType(), False),
+           StructField("_real", BooleanType(), False)])
+
+    def hash_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h1, _, rowmap = extract_hashes(batch.column(value_col), element,
+                                           "murmur3")
+            cols = {"h1": pa.array(h1.astype(np.int64)),
+                    "shard": pa.array(
+                        hashing.shard_of(h1, n_shards).astype(np.int32)),
+                    "_real": pa.array(np.ones(len(h1), dtype=bool))}
+            if key_col:
+                karr = batch.column(key_col)
+                if rowmap is not None:
+                    karr = karr.take(pa.array(rowmap))
+                cols[key_col] = karr
+            yield pa.RecordBatch.from_pydict(
+                {f.name: cols[f.name] for f in hash_schema.fields},
+                schema=_to_arrow_schema(hash_schema))
+
+    return df.select(*key_cols, value_col).mapInArrow(hash_fn, hash_schema)
+
+
+def _shard_sentinels(df: DataFrame, key_col: str | None,
+                     n_shards: int) -> DataFrame:
+    """One ``_real=FALSE`` row per (key?, shard) so groupBy emits a state
+    row even for shards that received zero elements — probes route by
+    ``shard_of`` and a missing shard would misindex every lookup."""
+    spark = df.sparkSession
+    shards = spark.range(n_shards).select(
+        F.col("id").cast("int").alias("shard"))
+    base = (df.select(key_col).distinct().crossJoin(shards)
+            if key_col else shards)
+    return (base
+            .withColumn("h1", F.lit(0).cast("long"))
+            .withColumn("_real", F.lit(False))
+            .select(*([key_col] if key_col else []), "h1", "shard", "_real"))
+
+
 def cuckoo_build(df: DataFrame, value_col: str, *,
                  key_col: str | None = None, element: str | None = None,
                  size: int | None = None, bucket_size: int = 4,
@@ -719,10 +779,17 @@ def cuckoo_build(df: DataFrame, value_col: str, *,
     the 8-byte hashes to their (key, shard) and run the sequential
     insert kernel once per shard — the kernel itself is numpy-array
     based. ``n_shards > 1`` splits each key's filter into independent
-    shards by ``h1 % n_shards``; lookups route the same way
-    (:func:`gostatix_spark.query.cuckoo_contains`), so build and probe
+    shards by ``shard_of(h1)``; lookups and removals route the same way
+    (:func:`gostatix_spark.query.cuckoo_contains`,
+    :func:`cuckoo_apply_removals`), so build, delete and probe
     parallelize across shards. Size is rounded to a power of two so the
-    XOR partner map is involutive (policy SURVEY.md §1.6.5).
+    XOR partner map is involutive (policy SURVEY.md §1.6.5). Every
+    shard emits a row even when empty (zero-element shards are states,
+    not absent rows).
+
+    ``size`` is the per-shard bucket count when given; when omitted it
+    is derived from ``df.count()`` split across shards at 0.955 load
+    (``base_cuckoo_filter.go`` capacity policy).
 
     Returns ``DataFrame[key?, shard int, state binary, n_items]``.
     """
@@ -738,29 +805,8 @@ def cuckoo_build(df: DataFrame, value_col: str, *,
         fp_len = params.cuckoo_fingerprint_length(size, eps)
 
     key_cols = [key_col] if key_col else []
-    hash_schema = StructType(
-        ([df.schema[key_col]] if key_col else [])
-        + [StructField("h1", LongType(), False),
-           StructField("shard", IntegerType(), False)])
-
-    def hash_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            h1, _, rowmap = extract_hashes(batch.column(value_col), element,
-                                           "murmur3")
-            cols = {"h1": pa.array(h1.astype(np.int64)),
-                    "shard": pa.array((h1 % np.uint64(n_shards)).astype(np.int32))}
-            if key_col:
-                karr = batch.column(key_col)
-                if rowmap is not None:
-                    karr = karr.take(pa.array(rowmap))
-                cols[key_col] = karr
-            yield pa.RecordBatch.from_pydict(
-                {f.name: cols[f.name] for f in hash_schema.fields},
-                schema=_to_arrow_schema(hash_schema))
-
-    hashes = df.select(*key_cols, value_col).mapInArrow(hash_fn, hash_schema)
+    hashes = _element_hashes_df(df, value_col, key_col, element, n_shards) \
+        .unionByName(_shard_sentinels(df, key_col, n_shards))
 
     out_schema = StructType(
         ([df.schema[key_col]] if key_col else [])
@@ -769,7 +815,8 @@ def cuckoo_build(df: DataFrame, value_col: str, *,
            StructField("n_items", LongType(), False)])
 
     def build_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        h1 = pdf["h1"].to_numpy().astype(np.uint64)
+        real = pdf[pdf["_real"]]
+        h1 = real["h1"].to_numpy().astype(np.int64).view(np.uint64)
         f = cuckoo.CuckooFilter(size, bucket_size, fp_len, retries, seed=seed)
         f.bulk_insert_hashes(h1)
         st = CuckooState(size, bucket_size, fp_len, retries, f.length, f.buckets)
@@ -780,3 +827,123 @@ def cuckoo_build(df: DataFrame, value_col: str, *,
         return pd.DataFrame([row])
 
     return hashes.groupBy(*key_cols, "shard").applyInPandas(build_fn, out_schema)
+
+
+def cuckoo_apply_removals(states: DataFrame, removals: DataFrame,
+                          value_col: str, *, n_shards: int,
+                          key_col: str | None = None,
+                          element: str | None = None) -> DataFrame:
+    """Distributed ``Remove`` (``cuckoo_filter.go:128-144``) over a
+    sharded build: hash the removal elements (vectorized, parallel),
+    route each to its owning shard by the build's ``shard_of`` rule,
+    and apply the vectorized batch-remove kernel inside a cogrouped
+    ``applyInPandas`` — one task per (key?, shard), no element ever
+    touches the driver.
+
+    ``states`` is :func:`cuckoo_build` output; ``removals`` is any
+    DataFrame with ``value_col`` (and ``key_col`` when the build was
+    keyed). ``n_shards`` must equal the build's. Returns the same
+    ``[key?, shard, state, n_items]`` shape with removals applied
+    (``n_items`` decremented by the count actually removed — absent
+    elements are no-ops, as in the reference)."""
+    element = infer_element(removals, value_col, element)
+    key_cols = [key_col] if key_col else []
+    hashes = _element_hashes_df(removals, value_col, key_col, element,
+                                n_shards)
+    out_schema = StructType(
+        ([states.schema[key_col]] if key_col else [])
+        + [StructField("shard", IntegerType(), False),
+           StructField("state", BinaryType(), False),
+           StructField("n_items", LongType(), False)])
+    out_cols = key_cols + ["shard", "state", "n_items"]
+
+    def apply_fn(spdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(spdf):
+            # removals routed to a (key, shard) with no built state:
+            # nothing to remove from
+            return pd.DataFrame(columns=out_cols)
+        st: CuckooState = sketch_from_bytes(bytes(spdf["state"].iloc[0]))
+        f = cuckoo.CuckooFilter(st.size, st.bucket_size, st.fp_len,
+                                st.retries, buckets=st.buckets,
+                                length=st.length)
+        n_removed = 0
+        if len(rpdf):
+            h1 = rpdf["h1"].to_numpy().astype(np.int64).view(np.uint64)
+            n_removed = int(f.bulk_remove_hashes(h1).sum())
+        new = CuckooState(st.size, st.bucket_size, st.fp_len, st.retries,
+                          f.length, f.buckets)
+        row = {"shard": int(spdf["shard"].iloc[0]), "state": new.to_bytes(),
+               "n_items": int(spdf["n_items"].iloc[0]) - n_removed}
+        for kc in key_cols:
+            row[kc] = spdf[kc].iloc[0]
+        return pd.DataFrame([row])
+
+    return (states.groupBy(*key_cols, "shard")
+            .cogroup(hashes.groupBy(*key_cols, "shard"))
+            .applyInPandas(apply_fn, out_schema))
+
+
+def bloom_build_sharded(df: DataFrame, value_col: str, *,
+                        n: int, eps: float = 0.01,
+                        element: str | None = None, n_shards: int = 8,
+                        tree_fanout: int | None = None) -> DataFrame:
+    """Sharded Bloom build (SURVEY.md §7.4.4): the scale path for
+    filters too big for one driver/executor blob (n = 10⁹ at p = 0.01
+    is ~1.2 GB). Each element belongs to shard ``shard_of(h1)``; each
+    shard is an independent Bloom sized for ``n / n_shards`` expected
+    elements at the same ``eps`` (total bits identical to the unsharded
+    filter, same FPR). Phase 1 stays ONE pass with map-side combine:
+    every input partition folds its elements into ``n_shards`` small
+    word arrays, emitting one partial row per (partition, shard); phase
+    2 ORs per shard. Probe via
+    :func:`gostatix_spark.query.bloom_contains_sharded`, which routes by
+    the same rule — still no false negatives.
+
+    Returns ``DataFrame[shard int, state, n_items, n_partials]``.
+    """
+    element = infer_element(df, value_col, element)
+    n_per = max(1, -(-n // n_shards))
+    m = params.bloom_filter_size(n_per, eps)
+    k = params.bloom_num_hashes(m, n_per)
+
+    out_schema = StructType([
+        StructField("shard", IntegerType(), False),
+        StructField("state", BinaryType(), False),
+        StructField("n_items", LongType(), False),
+        StructField("partition_id", IntegerType(), False),
+        StructField("rows_consumed", LongType(), False)])
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        words = [bloom.new_state(m) for _ in range(n_shards)]
+        items = np.zeros(n_shards, dtype=np.int64)
+        rows = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h1, h2, _ = extract_hashes(batch.column(value_col), element,
+                                       "metro")
+            shard = hashing.shard_of(h1, n_shards)
+            order = np.argsort(shard, kind="stable")
+            counts = np.bincount(shard, minlength=n_shards)
+            off = 0
+            for s in range(n_shards):
+                c = int(counts[s])
+                if c:
+                    sel = order[off:off + c]
+                    bloom.insert_batch(words[s], h1[sel], h2[sel], k, m)
+                    items[s] += c
+                off += c
+            rows += batch.num_rows
+        out = [{"shard": s,
+                "state": BloomState(m, k, words[s], int(items[s])).to_bytes(),
+                "n_items": int(items[s]), "partition_id": pid,
+                "rows_consumed": rows}
+               for s in range(n_shards)]
+        if out:
+            yield from pa.Table.from_pylist(
+                out, schema=_to_arrow_schema(out_schema)).to_batches()
+
+    partials = df.select(value_col).mapInArrow(fn, out_schema)
+    return _merge_partials(partials, "shard", tree_fanout)

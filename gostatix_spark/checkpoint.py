@@ -46,11 +46,19 @@ def write_partials(partials: DataFrame, path: str, kind: str,
     return snapshot_id
 
 
-def completed_partitions(spark: SparkSession, path: str) -> list[int]:
+def completed_partitions(spark: SparkSession, path: str,
+                         kind: str | None = None) -> list[int]:
+    """Partition ids with a checkpointed partial **for this sketch
+    kind**. A checkpoint path may hold partials of several kinds (the
+    persisted ``sketch_kind`` column exists exactly for that); counting
+    another kind's partitions as done would silently skip phase 1 for
+    the new kind and return an empty build."""
     try:
         cp = spark.read.parquet(path)
     except Exception:
         return []
+    if kind is not None:
+        cp = cp.where(F.col("sketch_kind") == kind)
     return [r["partition_id"] for r in
             cp.select("partition_id").distinct().collect()]
 
@@ -73,7 +81,7 @@ def checkpointed_sketch_agg(df: DataFrame, kind: str, value_col: str, *,
     element = infer_element(df, value_col, element)
     spec = _Spec.make(kind, **sketch_params)
 
-    done = frozenset(completed_partitions(spark, checkpoint_path))
+    done = frozenset(completed_partitions(spark, checkpoint_path, kind))
     partials = _build_partials(df, spec, value_col, key_col, element,
                                skip_partitions=done)
     if fail_after_partition is not None:

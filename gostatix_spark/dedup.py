@@ -154,17 +154,23 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 32,
                         num_perm: int | None = None) -> DataFrame:
     """Band the signatures and emit candidate pairs that share ≥1 band
-    bucket. Relational core: posexplode band hashes → self-join on
-    (band, bucket) → distinct (a < b) pairs. Shuffles only
-    (id, band, bucket-hash) rows."""
+    bucket. Relational core: per-band bucket = ``F.hash(F.slice(sig,
+    ...))`` (order-deterministic, narrow — no shuffle before the join)
+    → self-join on (band, bucket) → distinct (a < b) pairs. Shuffles
+    only (id, band, bucket-hash) rows.
+
+    (Previous shape — posexplode → groupBy(id, band) →
+    ``F.hash(collect_list(v))`` — depended on collect_list element
+    order, which Spark does not guarantee across shuffles; slice keeps
+    signature order by construction and drops the extra Exchange.)"""
     if num_perm is None:
         num_perm = len(sigs.select("sig").first()["sig"])
     rows_per_band = max(1, num_perm // bands)
-    banded = (sigs
-              .select("id", F.posexplode("sig").alias("pos", "v"))
-              .withColumn("band", (F.col("pos") / rows_per_band).cast("int"))
-              .groupBy("id", "band")
-              .agg(F.hash(F.collect_list("v")).alias("bucket")))
+    band_buckets = F.array(*[
+        F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+        for i in range(bands)])
+    banded = sigs.select(
+        "id", F.posexplode(band_buckets).alias("band", "bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, [F.col("a.band") == F.col("b.band"),
@@ -201,26 +207,42 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     cands = (cands.join(sa, "id_a").join(sb, "id_b")
              .where(est >= threshold - slack)
              .select("id_a", "id_b"))
+    # exact verify: materialize each CANDIDATE doc's distinct shingle-hash
+    # array ONCE (a doc in P candidate pairs was previously re-shingled P
+    # times, and full texts were shuffled into the pair join); the pair
+    # join then carries only (id, hash-array) and intersects arrays.
+    cand_ids = (cands.select(F.col("id_a").alias("id"))
+                .unionByName(cands.select(F.col("id_b").alias("id")))
+                .distinct())
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sh_hashes(texts: pd.Series) -> pd.Series:
+        return pd.Series([h.astype(np.int64).tolist()
+                          for h in _shingle_hashes(texts, shingle_k)])
+
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    cand_hashes = (texts.join(F.broadcast(cand_ids), "id")
+                   .select("id", sh_hashes("_t").alias("_h")))
     paired = (cands
-              .join(texts.withColumnRenamed("id", "id_a")
-                    .withColumnRenamed("_t", "text_a"), "id_a")
-              .join(texts.withColumnRenamed("id", "id_b")
-                    .withColumnRenamed("_t", "text_b"), "id_b"))
+              .join(cand_hashes.select(F.col("id").alias("id_a"),
+                                       F.col("_h").alias("_ha")), "id_a")
+              .join(cand_hashes.select(F.col("id").alias("id_b"),
+                                       F.col("_h").alias("_hb")), "id_b"))
 
     from pyspark.sql.types import DoubleType
 
     @F.pandas_udf(DoubleType())
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        ha = _shingle_hashes(ta, shingle_k)
-        hb = _shingle_hashes(tb, shingle_k)
-        return pd.Series([
-            float(len(np.intersect1d(x, y, assume_unique=True)))
-            / max(1, len(np.union1d(x, y)))
-            for x, y in zip(ha, hb)])
+    def jac(ha: pd.Series, hb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ha, hb):
+            a = np.asarray(x, dtype=np.int64)
+            b = np.asarray(y, dtype=np.int64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            out.append(float(inter) / max(1, len(a) + len(b) - inter))
+        return pd.Series(out)
 
     return (paired
-            .withColumn("jaccard", jac("text_a", "text_b"))
+            .withColumn("jaccard", jac("_ha", "_hb"))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 
@@ -297,7 +319,8 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        block_col: str | None = None) -> DataFrame:
+                        block_col: str | None = None,
+                        max_gram_df: int | None = None) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for all pairs (optionally
     blocked by ``block_col`` to bound the join) — fully relational:
 
@@ -306,6 +329,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
     This is the ground-truth oracle for the MinHash pipeline and is
     DuckDB-expressible (driver oracle). Output: [id_a, id_b, jaccard].
+
+    ``max_gram_df`` (default off, preserving exactness): drop grams
+    shared by more than that many docs from the *pairing* join. A gram
+    in T docs contributes a T² candidate block — at 100 TB one hot
+    boilerplate gram ("all rights reserved …") makes the self-join
+    quadratic. Near-dup pairs share many grams, of which the hot ones
+    are a small fraction, so capping slightly *underestimates* jaccard
+    (per-doc gram counts in the denominator are NOT capped) and can
+    only drop pairs sitting exactly at the threshold — planted-dup
+    recall is tested in tests/test_pipeline_ops.py.
     """
     words = F.split(F.lower(F.col(text_col)), " ")
     grams = (df.select(F.col(id_col).alias("id"),
@@ -319,8 +352,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                      .alias("gram"))
              .distinct())
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    join_grams = grams
+    if max_gram_df is not None:
+        # one extra hash-agg on (gram) — cheap next to the self-join it caps
+        rare = (grams.groupBy("gram")
+                .agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= max_gram_df)
+                .select("gram"))
+        join_grams = grams.join(rare, "gram")
+    a = join_grams.alias("a")
+    b = join_grams.alias("b")
     join_cond = [F.col("a.gram") == F.col("b.gram"), F.col("a.id") < F.col("b.id")]
     if block_col:
         join_cond.append(F.col("a._blk") == F.col("b._blk"))

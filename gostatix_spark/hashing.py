@@ -463,3 +463,24 @@ def hash_int64s(vals: np.ndarray, algo: str = "metro", seed: int | None = None):
 def hash_strings(strs, algo: str = "metro", seed: int | None = None):
     """Hash a sequence/Series of python strings (UTF-8 canonical encoding)."""
     return hash_bytes_batch([s.encode("utf-8") for s in strs], algo, seed)
+
+
+def mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain, Steele et al.) over a uint64
+    array. Used to derive SHARD routing from an element hash: the raw
+    ``h1 % n_shards`` shares low bits with the in-filter addressing
+    (cuckoo ``i1 = h1 % size`` with power-of-two size; bloom position
+    ``h1 % m``), so within a shard only ``1/n_shards`` of the table
+    would ever be addressable — a silent load-factor inflation. The
+    finalizer decorrelates the two uses."""
+    h = np.asarray(h, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
+def shard_of(h1: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard id for each element hash — THE routing rule shared by every
+    sharded build and its probe path (int64 output for Spark columns)."""
+    return (mix64(h1) % np.uint64(n_shards)).astype(np.int64)

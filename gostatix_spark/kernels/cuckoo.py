@@ -191,12 +191,61 @@ class CuckooFilter:
             self._kick_insert(int(fp[j]), int(i1[j]), int(i2[j]), destructive)
             self.length += 1
 
+    def bulk_remove_hashes(self, h1: np.ndarray) -> np.ndarray:
+        """Vectorized batch ``Remove`` (``cuckoo_filter.go:128-144``
+        semantics: unset the first matching slot at i1, else i2) for a
+        batch of pre-hashed elements. Returns a removed-mask.
+
+        Sequential equivalence incl. duplicates: within a (bucket, fp)
+        group the r-th duplicate clears the (r+1)-th matching slot in
+        index order — exactly what r sequential scalar removes do
+        (each clears the lowest-index remaining match); duplicates that
+        exhaust i1's matches fall through to the i2 round, as the
+        scalar path would after i1 empties."""
+        fp, i1, i2 = fingerprints_and_indices(h1, self.fp_len, self.size)
+        removed = np.zeros(len(h1), dtype=bool)
+        pending = np.arange(len(h1))
+        for cand in (i1, i2):
+            if not len(pending):
+                break
+            ok = _grouped_unset(self.buckets, cand[pending], fp[pending])
+            removed[pending[ok]] = True
+            pending = pending[~ok]
+        self.length -= int(removed.sum())
+        return removed
+
     def lookup_hashes(self, h1: np.ndarray) -> np.ndarray:
         """Vectorized membership for a batch of pre-hashed elements."""
         fp, i1, i2 = fingerprints_and_indices(h1, self.fp_len, self.size)
         a = (self.buckets[i1.astype(np.int64)] == fp[:, None]).any(axis=1)
         b = (self.buckets[i2.astype(np.int64)] == fp[:, None]).any(axis=1)
         return a | b
+
+
+def _grouped_unset(buckets: np.ndarray, bi: np.ndarray, fp: np.ndarray) -> np.ndarray:
+    """One vectorized removal round: each item wants to clear one slot
+    equal to ``fp`` in bucket ``bi``; the r-th item of a (bucket, fp)
+    group clears that bucket's (r+1)-th matching slot. Groups with
+    different fps touch disjoint slots, so a snapshot + cumsum is safe.
+    Returns a cleared-mask. No per-row Python."""
+    n = len(bi)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    bi = bi.astype(np.int64)
+    order = np.lexsort((fp, bi))
+    sb, sf = bi[order], fp[order]
+    first = np.concatenate(([True], (sb[1:] != sb[:-1]) | (sf[1:] != sf[:-1])))
+    group_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+    rank = np.arange(n) - group_start  # 0-based rank within (bucket, fp)
+    snap_match = buckets[sb] == sf[:, None]  # (n, b) snapshot
+    cum = np.cumsum(snap_match, axis=1)
+    sel = snap_match & (cum == (rank + 1)[:, None])
+    ok = sel.any(axis=1)
+    slot = sel.argmax(axis=1)
+    buckets[sb[ok], slot[ok]] = 0
+    cleared = np.zeros(n, dtype=bool)
+    cleared[order] = ok
+    return cleared
 
 
 def _greedy_place(buckets: np.ndarray, bi: np.ndarray, fp: np.ndarray) -> np.ndarray:

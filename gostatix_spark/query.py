@@ -29,8 +29,8 @@ from gostatix_spark.state import (BloomState, CMSState, CuckooState, HLLState,
                                   TopKState, sketch_from_bytes)
 
 __all__ = ["hll_estimate", "cms_counts", "topk_values", "bloom_contains",
-           "cuckoo_contains", "cms_count_col", "quantiles", "sketch_info",
-           "hash_pandas"]
+           "bloom_contains_sharded", "cuckoo_contains", "cms_count_col",
+           "quantiles", "sketch_info", "hash_pandas"]
 
 
 def _hash_pd(s: pd.Series, element: str, algo: str):
@@ -279,17 +279,45 @@ def bloom_contains(spark: SparkSession, state_blob: bytes, col: Column,
     return probe(col)
 
 
-def cuckoo_contains(spark: SparkSession, shard_states: list[bytes],
-                    col: Column, element: str) -> Column:
-    """Membership against a sharded cuckoo build: shard = h1 % n_shards
-    (must match :func:`gostatix_spark.agg.cuckoo_build`), probe the
-    owning shard's buckets. ``shard_states[i]`` is shard i's state."""
-    bc = spark.sparkContext.broadcast([bytes(b) for b in shard_states])
+def _shard_mapping(shard_states, n_shards: int | None) -> list[bytes]:
+    """Normalize/validate a shard→state mapping. Accepts a dict
+    ``{shard_id: blob}`` (the safe form — build straight from
+    ``cuckoo_build``/``bloom_build_sharded`` output rows, whose collect
+    order is NOT shard order) or a list where index = shard id. Raises
+    on missing shards: the builds emit a row per shard even when empty,
+    so a gap means the caller dropped one — routing against a
+    misaligned list would turn every probe into a silent false
+    negative."""
+    if isinstance(shard_states, dict):
+        mapping = {int(k): bytes(v) for k, v in shard_states.items()}
+    else:
+        mapping = {i: bytes(b) for i, b in enumerate(shard_states)}
+    if n_shards is None:
+        n_shards = len(mapping)
+    missing = sorted(set(range(n_shards)) - set(mapping))
+    extra = sorted(set(mapping) - set(range(n_shards)))
+    if missing or extra:
+        raise ValueError(
+            f"shard states do not cover 0..{n_shards - 1}: "
+            f"missing={missing} unexpected={extra}")
+    return [mapping[i] for i in range(n_shards)]
+
+
+def cuckoo_contains(spark: SparkSession, shard_states, col: Column,
+                    element: str, *, n_shards: int | None = None) -> Column:
+    """Membership against a sharded cuckoo build: shard =
+    ``shard_of(h1, n_shards)`` (the build's routing rule —
+    :func:`gostatix_spark.agg.cuckoo_build`), probe the owning shard's
+    buckets. ``shard_states``: dict ``{shard: blob}`` or list indexed
+    by shard id; pass ``n_shards`` explicitly to validate against the
+    build (``cuckoo_filter.go:118-125`` lookup semantics, no false
+    negatives)."""
+    blobs = _shard_mapping(shard_states, n_shards)
+    bc = spark.sparkContext.broadcast(blobs)
 
     @F.pandas_udf(BooleanType())
     def probe(s: pd.Series) -> pd.Series:
         blobs = bc.value
-        n_shards = len(blobs)
         filters = []
         for b in blobs:
             st: CuckooState = sketch_from_bytes(b)
@@ -297,12 +325,41 @@ def cuckoo_contains(spark: SparkSession, shard_states: list[bytes],
                 st.size, st.bucket_size, st.fp_len, st.retries,
                 buckets=st.buckets, length=st.length))
         h1, _ = _hash_pd(s, element, "murmur3")
-        shard = (h1 % np.uint64(n_shards)).astype(np.int64)
+        shard = hashing.shard_of(h1, len(blobs))
         out = np.zeros(len(s), dtype=bool)
         for i, f in enumerate(filters):
             sel = shard == i
             if sel.any():
                 out[sel] = f.lookup_hashes(h1[sel])
+        return pd.Series(out)
+
+    return probe(col)
+
+
+def bloom_contains_sharded(spark: SparkSession, shard_states, col: Column,
+                           element: str, *,
+                           n_shards: int | None = None) -> Column:
+    """Membership against a sharded Bloom build
+    (:func:`gostatix_spark.agg.bloom_build_sharded`): route each probe
+    by ``shard_of(h1)``, test the owning shard's bit array. Same
+    no-false-negative guarantee as the single-blob probe; each
+    broadcast blob is 1/n_shards the size (on a real cluster the shard
+    states can also stay as a small joined table instead of a
+    broadcast)."""
+    blobs = _shard_mapping(shard_states, n_shards)
+    bc = spark.sparkContext.broadcast(blobs)
+
+    @F.pandas_udf(BooleanType())
+    def probe(s: pd.Series) -> pd.Series:
+        states = [sketch_from_bytes(b) for b in bc.value]
+        h1, h2 = _hash_pd(s, element, "metro")
+        shard = hashing.shard_of(h1, len(states))
+        out = np.zeros(len(s), dtype=bool)
+        for i, st in enumerate(states):
+            sel = shard == i
+            if sel.any():
+                out[sel] = bloom.lookup_batch(st.words, h1[sel], h2[sel],
+                                              st.k, st.m)
         return pd.Series(out)
 
     return probe(col)

@@ -181,3 +181,104 @@ class TestElementKinds:
                  corpus.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
         for r in got:
             assert r["est"] == exact[r["source"]]  # wide CMS, 4 keys → exact
+
+
+class TestCuckooRemovals:
+    def test_distributed_remove_then_probe(self, spark, corpus):
+        """Build sharded → remove half as a DataFrame (no driver loop) →
+        remaining elements all found; removed ones (mostly) not."""
+        from gostatix_spark.agg import cuckoo_apply_removals
+        states = cuckoo_build(corpus, "doc_id", element="string", n_shards=4,
+                              eps=0.001)
+        removals = corpus.where("int(substr(doc_id, 5)) % 2 = 0") \
+            .select("doc_id")
+        n_removed = removals.count()
+        after = cuckoo_apply_removals(states, removals, "doc_id",
+                                      element="string", n_shards=4)
+        rows = after.collect()
+        assert len(rows) == 4
+        assert sum(r["n_items"] for r in rows) == N_DOCS - n_removed
+        shard_map = {r["shard"]: bytes(r["state"]) for r in rows}
+        kept = corpus.where("int(substr(doc_id, 5)) % 2 = 1")
+        probes = kept.select("doc_id").withColumn(
+            "hit", cuckoo_contains(spark, shard_map, F.col("doc_id"),
+                                   "string", n_shards=4))
+        assert probes.where(~F.col("hit")).count() == 0  # no false negatives
+        gone = corpus.where("int(substr(doc_id, 5)) % 2 = 0").select("doc_id") \
+            .withColumn("hit", cuckoo_contains(spark, shard_map,
+                                               F.col("doc_id"), "string",
+                                               n_shards=4))
+        # removed elements may fp-collide, but the bulk must be gone
+        assert gone.where(F.col("hit")).count() < 0.01 * n_removed
+
+    def test_empty_shards_emitted(self, spark):
+        """A build whose elements miss some shards still emits a state
+        row per shard (probe routing needs the full 0..n-1 set)."""
+        one = spark.createDataFrame([(1,)], "v bigint")
+        states = cuckoo_build(one, "v", n_shards=8, size=64)
+        rows = states.collect()
+        assert sorted(r["shard"] for r in rows) == list(range(8))
+        assert sum(r["n_items"] for r in rows) == 1
+
+    def test_autosized_sharded_load(self, spark, corpus):
+        """Auto-sizing splits capacity across shards; the splitmix shard
+        routing must leave every in-shard bucket reachable, or the
+        0.955-load build overflows (the raw h1%n_shards routing fixed a
+        shard's low bits, freezing i1's low bits with pow-2 sizes)."""
+        states = cuckoo_build(corpus, "doc_id", element="string",
+                              n_shards=8, eps=0.01)  # size=None → auto
+        rows = states.collect()
+        assert sum(r["n_items"] for r in rows) == N_DOCS
+        shard_map = {r["shard"]: bytes(r["state"]) for r in rows}
+        probes = corpus.select("doc_id").withColumn(
+            "hit", cuckoo_contains(spark, shard_map, F.col("doc_id"),
+                                   "string", n_shards=8))
+        assert probes.where(~F.col("hit")).count() == 0
+
+    def test_shard_mapping_validation(self, spark, corpus):
+        import pytest as _pt
+        states = cuckoo_build(corpus, "doc_id", element="string", n_shards=4,
+                              eps=0.01)
+        rows = states.collect()
+        shard_map = {r["shard"]: bytes(r["state"]) for r in rows}
+        del shard_map[2]
+        with _pt.raises(ValueError, match="missing"):
+            cuckoo_contains(spark, shard_map, F.col("doc_id"), "string",
+                            n_shards=4)
+
+
+class TestBloomSharded:
+    def test_no_false_negatives_and_fpr(self, spark, corpus):
+        from gostatix_spark.agg import bloom_build_sharded
+        from gostatix_spark.query import bloom_contains_sharded
+        states = bloom_build_sharded(corpus, "doc_id", element="string",
+                                     n=N_DOCS, eps=0.01, n_shards=8)
+        rows = states.collect()
+        assert sorted(r["shard"] for r in rows) == list(range(8))
+        assert sum(r["n_items"] for r in rows) == N_DOCS
+        shard_map = {r["shard"]: bytes(r["state"]) for r in rows}
+        hits = corpus.select("doc_id").withColumn(
+            "hit", bloom_contains_sharded(spark, shard_map, F.col("doc_id"),
+                                          "string", n_shards=8))
+        assert hits.where(~F.col("hit")).count() == 0
+        missing = spark.range(N_DOCS, N_DOCS + 5000).select(
+            F.concat(F.lit("doc_"), F.col("id")).alias("doc_id"))
+        fp = missing.withColumn(
+            "hit", bloom_contains_sharded(spark, shard_map, F.col("doc_id"),
+                                          "string", n_shards=8)) \
+            .where(F.col("hit")).count()
+        assert fp / 5000 < 0.03  # ≈ eps with slack
+
+    def test_matches_unsharded_semantics(self, spark, corpus):
+        """Sharded and unsharded filters answer membership identically
+        on inserted keys and use the same total bit budget per element."""
+        from gostatix_spark.agg import bloom_build_sharded
+        from gostatix_spark.state import sketch_from_bytes as sfb
+        states = bloom_build_sharded(corpus, "doc_id", element="string",
+                                     n=N_DOCS, eps=0.01, n_shards=4)
+        sts = [sfb(bytes(r["state"])) for r in states.collect()]
+        single = sketch_agg(corpus, "bloom", "doc_id", element="string",
+                            n=N_DOCS, eps=0.01)
+        st1 = sfb(bytes(single.collect()[0]["state"]))
+        total_sharded_bits = sum(s.m for s in sts)
+        assert abs(total_sharded_bits - st1.m) / st1.m < 0.01

@@ -76,3 +76,23 @@ def test_rows_consumed_lineage(spark, corpus):
         cp = spark.read.parquet(path)
         total_rows = cp.agg(F.sum("rows_consumed")).collect()[0][0]
         assert total_rows == corpus.count()
+
+
+def test_two_kinds_share_one_path(spark, corpus):
+    """A checkpoint path holding another kind's partials must NOT make a
+    new kind's build treat partitions as done (it would silently skip
+    all of phase 1 and return an empty/garbage result)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/cp"
+        first = checkpointed_sketch_agg(corpus, "hll", "tokens",
+                                        checkpoint_path=path, m=1024)
+        est1 = first.collect()
+        assert len(est1) == 1
+        # second build, different kind, SAME path: must run phase 1 fully
+        second = checkpointed_sketch_agg(corpus, "cms", "tokens",
+                                         checkpoint_path=path, d=3, w=500)
+        rows = second.collect()
+        assert len(rows) == 1
+        st = sketch_from_bytes(bytes(rows[0]["state"]))
+        direct = sketch_agg(corpus, "cms", "tokens", d=3, w=500).collect()
+        assert bytes(rows[0]["state"]) == bytes(direct[0]["state"])

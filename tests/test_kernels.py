@@ -332,3 +332,32 @@ class TestCuckoo:
     def test_positive_rate(self):
         f = cuckoo.CuckooFilter(size=64, bucket_size=4, fp_len=2)
         assert f.positive_rate() == pytest.approx(2 ** (math.log2(8) - 2))
+
+    def test_bulk_remove_matches_scalar(self):
+        """Vectorized batch remove ≡ sequential scalar removes — same
+        removed-mask, same buckets, same length — including duplicates
+        and absent elements (cuckoo_filter.go:128-144 semantics)."""
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 100000, 4000)
+        dups = rng.choice(base[:500], 600)
+        items = [int(x).to_bytes(8, "big")
+                 for x in np.concatenate([base, dups])]
+        h_all, _ = H.hash_bytes_batch(items, "murmur3")
+        f_scalar = cuckoo.CuckooFilter(4096, 4, 8, seed=1)
+        f_vec = cuckoo.CuckooFilter(4096, 4, 8, seed=1)
+        f_scalar.bulk_insert_hashes(h_all)
+        f_vec.bulk_insert_hashes(h_all)
+        absent = [int(x).to_bytes(8, "big")
+                  for x in rng.integers(200000, 300000, 300)]
+        rem = items[:1500] + absent + items[:200]  # re-removals of dups
+        h_rem, _ = H.hash_bytes_batch(rem, "murmur3")
+        scalar_mask = np.array([f_scalar.remove(it) for it in rem])
+        vec_mask = f_vec.bulk_remove_hashes(h_rem)
+        assert (scalar_mask == vec_mask).all()
+        assert f_scalar.equals(f_vec)
+        assert f_scalar.length == f_vec.length
+        # elements never targeted by a removal still have no false negs
+        removed_vals = {bytes(it) for it in rem}
+        untouched = [it for it in items if bytes(it) not in removed_vals]
+        h_left, _ = H.hash_bytes_batch(untouched, "murmur3")
+        assert f_vec.lookup_hashes(h_left).all()

@@ -217,3 +217,32 @@ class TestMultimodal:
         fr = frames.collect()
         assert len(fr) == 10 * (256 // 32 // 2)  # 10 videos × 4 sampled frames
         assert all(len(r["frame"]) == 32 for r in fr)
+
+
+class TestNgramGramCap:
+    def test_capped_still_finds_planted_dups(self, spark, docs):
+        """max_gram_df drops only hot grams from the pairing join;
+        planted exact duplicates share *all* their grams, so they must
+        survive any cap that keeps their rarer grams."""
+        base = docs.limit(15).select("doc_id", "text")
+        dupes = base.select((F.col("doc_id") + 500_000).alias("doc_id"),
+                            "text")
+        planted = base.unionByName(dupes)
+        capped = dedup.ngram_jaccard_pairs(planted, "text", "doc_id", n=3,
+                                           threshold=0.8, max_gram_df=10)
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        want = {(r["doc_id"], r["doc_id"] + 500_000)
+                for r in base.collect()}
+        assert want <= got
+
+    def test_cap_off_is_exact(self, spark, docs):
+        a = dedup.ngram_jaccard_pairs(docs.limit(40), "text", "doc_id",
+                                      n=3, threshold=0.3)
+        b = dedup.ngram_jaccard_pairs(docs.limit(40), "text", "doc_id",
+                                      n=3, threshold=0.3,
+                                      max_gram_df=10**9)  # cap above any df
+        ra = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+              for r in a.collect()}
+        rb = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+              for r in b.collect()}
+        assert ra == rb
