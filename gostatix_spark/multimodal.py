@@ -2,11 +2,18 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schema, batching, partition sizing, UDF
-signatures) is real and tested; the actual media decoding is STUBBED
-behind :data:`DECODERS` because no image/audio libraries exist in this
-container — each stub is a deterministic fake keyed on the payload
-bytes, clearly marked. Swapping in a real decoder (PIL / torchaudio /
-pyav) changes one function, not the pipeline.
+signatures) is real and tested. Decoding has two tiers:
+
+* codec ``zraw`` — a REAL decode path: the payload is a
+  zlib-compressed raw sample array (uint8 pixels / PCM bytes) whose
+  shape lives in ``meta``; decode = ``zlib.decompress`` →
+  ``np.frombuffer`` → reshape → pooled features. This exercises the
+  full pipeline on genuinely encoded, round-trippable bytes using only
+  the stdlib codec available in this container.
+* codec ``fake`` — a STUB for formats needing external libs (JPEG /
+  FLAC / H.264): deterministic fake keyed on the payload bytes,
+  clearly marked. Swapping in PIL / torchaudio / pyav changes one
+  entry in :data:`DECODERS`, not the pipeline.
 
 Pattern: ``mapInPandas`` so one Python worker sees an iterator of
 row-batches and can bound its own memory (media rows are big — pair
@@ -36,9 +43,16 @@ ASSET_SCHEMA = StructType([
 ])
 
 
-def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256) -> DataFrame:
-    """Deterministic synthetic asset table (payloads are hash-derived
-    pseudo-bytes — stands in for real encoded media)."""
+def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256,
+                codec: str = "zraw") -> DataFrame:
+    """Deterministic synthetic asset table.
+
+    ``codec='zraw'`` (default): payloads are REAL zlib-compressed raw
+    sample arrays — images are (h, w) uint8 pixel grids, audio/video
+    are 1-D uint8 sample streams — with the shape recorded in ``meta``.
+    ``codec='fake'``: opaque pseudo-bytes for the stubbed decoders.
+    """
+    import zlib
     kinds = ["image", "audio", "video"]
 
     def gen(batches):
@@ -48,12 +62,23 @@ def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256) -> Data
             for i in ids:
                 rng = np.random.default_rng(seed * 1_000_003 + int(i))
                 kind = kinds[int(i) % 3]
-                rows.append({
-                    "asset_id": int(i), "kind": kind,
-                    "media": rng.integers(0, 256, payload_bytes,
-                                          dtype=np.uint8).tobytes(),
-                    "meta": {"codec": "fake", "kind": kind},
-                })
+                raw = rng.integers(0, 256, payload_bytes, dtype=np.uint8)
+                if codec == "zraw":
+                    if kind == "image":
+                        w = 16
+                        h = max(1, payload_bytes // w)
+                        raw = raw[: h * w]
+                        meta = {"codec": "zraw", "kind": kind,
+                                "height": str(h), "width": str(w)}
+                    else:
+                        meta = {"codec": "zraw", "kind": kind,
+                                "n_samples": str(payload_bytes)}
+                    media = zlib.compress(raw.tobytes())
+                else:
+                    media = raw.tobytes()
+                    meta = {"codec": "fake", "kind": kind}
+                rows.append({"asset_id": int(i), "kind": kind,
+                             "media": media, "meta": meta})
             import pyarrow as pa
             from pyspark.sql.pandas.types import to_arrow_schema
             yield from pa.Table.from_pylist(
@@ -62,23 +87,48 @@ def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256) -> Data
     return spark.range(n).mapInArrow(gen, ASSET_SCHEMA)
 
 
-def _fake_decode(media: bytes, kind: str, out_dim: int) -> np.ndarray:
-    """STUB — deterministic fake 'decoder': folds the payload bytes into
-    a feature vector. A real deployment replaces this with
-    PIL/torchaudio/pyav decoding; everything around it stays."""
-    arr = np.frombuffer(media, dtype=np.uint8).astype(np.float32)
+def _pool_features(arr: np.ndarray, out_dim: int) -> np.ndarray:
+    """Mean-pool a raw sample array into a fixed-length feature vector."""
+    arr = arr.astype(np.float32).ravel()
     pad = (-len(arr)) % out_dim
     if pad:
         arr = np.concatenate([arr, np.zeros(pad, np.float32)])
     return arr.reshape(-1, out_dim).mean(axis=0) / 255.0
 
 
-DECODERS = {"image": _fake_decode, "audio": _fake_decode, "video": _fake_decode}
+def _zraw_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
+    """REAL decode: zlib-decompress the payload, reconstruct the sample
+    array from the typed metadata (images validate height×width), then
+    extract pooled features. Raises on corrupt/mis-shaped payloads —
+    this path fails loudly, it does not fall back to a fake."""
+    import zlib
+    raw = np.frombuffer(zlib.decompress(bytes(media)), dtype=np.uint8)
+    if meta.get("kind") == "image":
+        h, w = int(meta["height"]), int(meta["width"])
+        if len(raw) != h * w:
+            raise ValueError(
+                f"image payload has {len(raw)} pixels, meta says {h}x{w}")
+        raw = raw.reshape(h, w)
+    return _pool_features(raw, out_dim)
+
+
+def _fake_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
+    """STUB — deterministic fake 'decoder' for codecs needing external
+    libraries (JPEG/FLAC/H.264): folds the payload bytes into a feature
+    vector. A real deployment replaces this with PIL/torchaudio/pyav
+    decoding; everything around it stays."""
+    return _pool_features(np.frombuffer(media, dtype=np.uint8), out_dim)
+
+
+# codec → decoder. 'zraw' is a real decode (stdlib zlib); 'fake' is the
+# declared stub for container-unavailable media libraries.
+DECODERS = {"zraw": _zraw_decode, "fake": _fake_decode}
 
 
 def decode_features(df: DataFrame, out_dim: int = 16) -> DataFrame:
     """[asset_id, kind, features array<float>] — batched decode +
-    feature extraction via mapInPandas (memory-bounded iterator)."""
+    feature extraction via mapInPandas (memory-bounded iterator);
+    decoder dispatched per row on ``meta['codec']``."""
     out_schema = StructType([
         StructField("asset_id", LongType(), False),
         StructField("kind", StringType(), False),
@@ -87,8 +137,9 @@ def decode_features(df: DataFrame, out_dim: int = 16) -> DataFrame:
 
     def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
-            feats = [DECODERS[k](m, k, out_dim).tolist()
-                     for k, m in zip(pdf["kind"], pdf["media"])]
+            feats = [
+                DECODERS[meta.get("codec", "fake")](m, meta, out_dim).tolist()
+                for meta, m in zip(pdf["meta"], pdf["media"])]
             yield pd.DataFrame({"asset_id": pdf["asset_id"],
                                 "kind": pdf["kind"], "features": feats})
 

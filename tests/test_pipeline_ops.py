@@ -203,7 +203,7 @@ class TestTextStats:
 
 class TestMultimodal:
     def test_decode_and_frame_sample(self, spark):
-        assets = multimodal.make_assets(spark, 30)
+        assets = multimodal.make_assets(spark, 30, codec="fake")
         feats = multimodal.decode_features(assets, out_dim=8)
         rows = feats.collect()
         assert len(rows) == 30
@@ -217,6 +217,39 @@ class TestMultimodal:
         fr = frames.collect()
         assert len(fr) == 10 * (256 // 32 // 2)  # 10 videos × 4 sampled frames
         assert all(len(r["frame"]) == 32 for r in fr)
+
+    def test_zraw_real_decode_roundtrip(self, spark):
+        """zraw is a REAL decode: payloads are zlib-compressed sample
+        arrays, and the pipeline's features must equal pooling the
+        original raw samples reconstructed independently here."""
+        import zlib
+        assets = multimodal.make_assets(spark, 24, codec="zraw",
+                                        payload_bytes=256)
+        raw_rows = assets.collect()
+        # payloads really are compressed (not the raw bytes)
+        assert all(len(bytes(r["media"])) != 256 for r in raw_rows)
+        feats = {r["asset_id"]: r["features"] for r in
+                 multimodal.decode_features(assets, out_dim=8).collect()}
+        for r in raw_rows:
+            raw = np.frombuffer(zlib.decompress(bytes(r["media"])),
+                                dtype=np.uint8)
+            if r["kind"] == "image":
+                h, w = int(r["meta"]["height"]), int(r["meta"]["width"])
+                assert len(raw) == h * w
+            want = raw.astype(np.float32).reshape(-1, 8).mean(axis=0) / 255.0
+            got = np.array(feats[r["asset_id"]], dtype=np.float32)
+            assert np.allclose(got, want, atol=1e-6), r["asset_id"]
+
+    def test_zraw_corrupt_payload_fails_loudly(self, spark):
+        import pytest as _pt
+        from pyspark.sql import Row
+        bad = spark.createDataFrame(
+            [Row(asset_id=1, kind="image", media=b"not-zlib",
+                 meta={"codec": "zraw", "kind": "image",
+                       "height": "4", "width": "4"})],
+            multimodal.ASSET_SCHEMA)
+        with _pt.raises(Exception):
+            multimodal.decode_features(bad, out_dim=4).collect()
 
 
 class TestNgramGramCap:
