@@ -90,6 +90,23 @@ def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("est_count").alias("cnt")))
 
 
+def q_cms_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-side CMS: broadcast the merged sketch and annotate every
+    row with its frequency estimate (``count_min_sketch.go:76-92``
+    vectorized per Arrow batch), then distinct — with w ≫ distinct
+    keys the estimates are exact, so GROUP BY count is the oracle."""
+    from gostatix_spark.query import cms_count_col
+    events = _read(spark, sf_dir, "events")
+    states = sketch_agg(events, "cms", "event_type", element="string",
+                        d=5, w=2719)
+    blob = bytes(states.collect()[0]["state"])
+    return (events.select("event_type")
+            .withColumn("est_count",
+                        cms_count_col(spark, blob, F.col("event_type"),
+                                      "string"))
+            .distinct())
+
+
 def q_topk_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Top-K (k=20) heavy hitters over lineitem.l_partkey,
     exact mode (candidate slack covers the true top-k; counts are the
@@ -166,6 +183,24 @@ def q_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return odd.withColumn(
         "contained", cuckoo_contains(spark, shard_map, F.col("s_suppkey"),
                                      "int64", n_shards=n_shards))
+
+
+def q_cuckoo_membership_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same insert→remove→lookup semantics as q_cuckoo_membership but
+    probing through the BROADCAST-FREE path (`cuckoo_contains_join`):
+    probes shuffle to their owning shard's state row and the lookup
+    runs cogrouped — the plan that still works when total filter state
+    is tens of GB. Same oracle: no false negatives ⇒ all TRUE."""
+    from gostatix_spark.query import cuckoo_contains_join
+    supp = _read(spark, sf_dir, "supplier")
+    n_shards = 4
+    states = cuckoo_build(supp, "s_suppkey", n_shards=n_shards, eps=0.001)
+    removals = supp.where("s_suppkey % 2 = 0").select("s_suppkey")
+    states = cuckoo_apply_removals(states, removals, "s_suppkey",
+                                   n_shards=n_shards)
+    odd = supp.where("s_suppkey % 2 = 1").select("s_suppkey")
+    return cuckoo_contains_join(states, odd, "s_suppkey",
+                                n_shards=n_shards)
 
 
 def q_sketch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,13 +376,13 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (recall < 1 by design) — rows-only."""
+    """LSH-bucketed ANN (recall < 1 by design) — rows-only. dim is
+    inferred worker-side from the vectors (no driver .first() sniff)."""
     emb = _read(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
     queries = (emb.where("vec_id < 3")
                .select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").alias("q_vec")))
-    return (similarity.lsh_topk(emb, queries, k=5, dim=dim,
+    return (similarity.lsh_topk(emb, queries, k=5,
                                 n_bits=8, prefix_bits=2)
             .select("q_id", "rank", "vec_id"))
 
@@ -357,11 +392,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users": q_hll_users,
         "hll_bound_gate": q_hll_bound_gate,
         "cms_event_counts": q_cms_event_counts,
+        "cms_annotate": q_cms_annotate,
         "topk_partkeys": q_topk_partkeys,
         "topk_partkeys_cms": q_topk_partkeys_cms,
         "bloom_membership": q_bloom_membership,
         "bloom_semijoin": q_bloom_semijoin,
         "cuckoo_membership": q_cuckoo_membership,
+        "cuckoo_membership_join": q_cuckoo_membership_join,
         "sketch_roundtrip": q_sketch_roundtrip,
         "tdigest_gate": q_tdigest_gate,
         "kll_gate": q_kll_gate,
@@ -411,6 +448,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT event_type, TRUE AS within_bound FROM events"),
         "cms_event_counts": (
             "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"),
+        "cms_annotate": (
+            "SELECT event_type, COUNT(*) AS est_count FROM events"
+            " GROUP BY event_type"),
         "topk_partkeys": (
             "SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_partkey ASC)"
             " AS rank, l_partkey, COUNT(*) AS cnt FROM lineitem"
@@ -421,6 +461,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey FROM orders WHERE o_custkey IN"
             " (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)"),
         "cuckoo_membership": (
+            "SELECT s_suppkey, TRUE AS contained FROM supplier"
+            " WHERE s_suppkey % 2 = 1"),
+        "cuckoo_membership_join": (
             "SELECT s_suppkey, TRUE AS contained FROM supplier"
             " WHERE s_suppkey % 2 = 1"),
         "sketch_roundtrip": (

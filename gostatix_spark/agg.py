@@ -616,6 +616,7 @@ def multi_sketch_agg(df: DataFrame, jobs: list[dict],
             hash_cache: dict = {}
             elem_cache: dict = {}
             key_cache: dict = {}
+            group_cache: dict = {}  # (kcol, vcol): per-key selection arrays
             for name, spec in specs.items():
                 vcol, kcol, element = meta[name]
                 if spec.needs_elements():
@@ -648,13 +649,21 @@ def multi_sketch_agg(df: DataFrame, jobs: list[dict],
                         keys = batch.column(kcol).to_pandas()
                         key_cache[kcol] = pd.factorize(keys, sort=False)
                     codes, uniques = key_cache[kcol]
-                    ecodes = codes if rowmap is None else codes[rowmap]
-                    order = np.argsort(ecodes, kind="stable")
-                    bounds = np.searchsorted(ecodes[order],
-                                             np.arange(len(uniques)))
-                    bounds = np.append(bounds, len(ecodes))
-                    row_counts = np.bincount(codes[codes >= 0],
-                                             minlength=len(uniques))
+                    # the group sort over element codes (12M-element
+                    # argsort for token columns) is shared by every job
+                    # on the same (key col, value col) — e.g. per-source
+                    # HLL and CMS over tokens sort once, not twice
+                    gk = (kcol, vcol)
+                    if gk not in group_cache:
+                        ecodes = codes if rowmap is None else codes[rowmap]
+                        order = np.argsort(ecodes, kind="stable")
+                        bounds = np.searchsorted(ecodes[order],
+                                                 np.arange(len(uniques)))
+                        bounds = np.append(bounds, len(ecodes))
+                        row_counts = np.bincount(codes[codes >= 0],
+                                                 minlength=len(uniques))
+                        group_cache[gk] = (order, bounds, row_counts)
+                    order, bounds, row_counts = group_cache[gk]
                     for g, key in enumerate(uniques):
                         sel = order[bounds[g]:bounds[g + 1]]
                         acc = accs.setdefault((name, str(key)), spec.init())
@@ -767,6 +776,19 @@ def _shard_sentinels(df: DataFrame, key_col: str | None,
             .select(*([key_col] if key_col else []), "h1", "shard", "_real"))
 
 
+def cuckoo_shard_size(n_rows: int, n_shards: int, bucket_size: int = 4) -> int:
+    """Per-shard bucket count for ``n_rows`` split across ``n_shards``
+    at the reference's 0.955 design load (``base_cuckoo_filter.go``
+    capacity policy), PLUS a 6σ Poisson-imbalance margin: shard counts
+    vary ≈ √(n/shards), and a shard landing above the design load makes
+    the kick loop panic — exact 0.955 sizing failed in practice at
+    1M × 32 shards when pow-2 rounding happened to add no slack."""
+    per_shard_items = n_rows / max(1, n_shards)
+    margin = 6.0 * per_shard_items ** 0.5
+    return max(64, int(np.ceil(
+        (per_shard_items + margin) / bucket_size / 0.955)))
+
+
 def cuckoo_build(df: DataFrame, value_col: str, *,
                  key_col: str | None = None, element: str | None = None,
                  size: int | None = None, bucket_size: int = 4,
@@ -795,10 +817,8 @@ def cuckoo_build(df: DataFrame, value_col: str, *,
     """
     element = infer_element(df, value_col, element)
     if size is None:
-        # size buckets for the incoming row count at 0.955 load
-        n_rows = df.count()
-        per_shard = max(64, int(np.ceil(n_rows / n_shards / bucket_size / 0.955)))
-        size = params.next_power_of_two(per_shard)
+        size = params.next_power_of_two(
+            cuckoo_shard_size(df.count(), n_shards, bucket_size))
     else:
         size = params.next_power_of_two(size)
     if fp_len is None:

@@ -57,11 +57,12 @@ def _uniform(idx: np.ndarray, seed: int, stream: int) -> np.ndarray:
     return (u >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def doc_lengths(idx: np.ndarray, seed: int) -> np.ndarray:
+def doc_lengths(idx: np.ndarray, seed: int, mu: float = 5.0,
+                sigma: float = 1.0, max_len: int = 2048) -> np.ndarray:
     u1 = np.clip(_uniform(idx, seed, 1), 1e-12, 1.0)
     u2 = _uniform(idx, seed, 2)
     z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)
-    return np.clip(np.round(np.exp(5.0 + 1.0 * z)), 1, 2048).astype(np.int32)
+    return np.clip(np.round(np.exp(mu + sigma * z)), 1, max_len).astype(np.int32)
 
 
 def doc_sources(idx: np.ndarray, seed: int) -> np.ndarray:
@@ -83,8 +84,9 @@ def generate_chunk(start: int, count: int, seed: int = 42) -> pa.Table:
     return generate_table(np.arange(start, start + count, dtype=np.int64), seed)
 
 
-def generate_table(idx: np.ndarray, seed: int = 42) -> pa.Table:
-    lengths = doc_lengths(idx, seed)
+def generate_table(idx: np.ndarray, seed: int = 42, mu: float = 5.0,
+                   sigma: float = 1.0, max_len: int = 2048) -> pa.Table:
+    lengths = doc_lengths(idx, seed, mu, sigma, max_len)
     sources = doc_sources(idx, seed)
     flat = doc_tokens_flat(idx, lengths, seed)
     offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
@@ -96,12 +98,20 @@ def generate_table(idx: np.ndarray, seed: int = 42) -> pa.Table:
 
 
 def corpus_df(spark: SparkSession, n_docs: int, seed: int = 42,
-              partitions: int | None = None) -> DataFrame:
+              partitions: int | None = None, mu: float = 5.0,
+              sigma: float = 1.0, max_len: int = 2048) -> DataFrame:
     """Distributed deterministic corpus: spark.range → mapInArrow.
 
     Row content depends only on (seed, doc index), so the result is
     byte-identical at any partition count — the property the
     partition-invariance tests (FIXTURES.md F4) rely on.
+
+    ``mu``/``sigma``/``max_len`` shape the LogNormal sequence-length
+    distribution. Defaults (mean ≈ 244 tokens) match the original
+    document-like fixture; the throughput bench uses a
+    training-sequence shape (mu=7.0, sigma=0.75, clip 8192 → mean
+    ≈ 1.5k tokens), the realistic unit for the north rule's
+    "pre-tokenized training sequences".
     """
     from pyspark.sql.types import (ArrayType, IntegerType, StringType,
                                    StructField, StructType)
@@ -116,7 +126,8 @@ def corpus_df(spark: SparkSession, n_docs: int, seed: int = 42,
             ids = batch.column("id").to_numpy()
             if len(ids) == 0:
                 continue
-            yield from generate_table(ids.astype(np.int64), seed).to_batches()
+            yield from generate_table(ids.astype(np.int64), seed, mu, sigma,
+                                      max_len).to_batches()
 
     rng = spark.range(n_docs, numPartitions=partitions)
     return rng.mapInArrow(gen, schema)

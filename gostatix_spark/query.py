@@ -29,7 +29,8 @@ from gostatix_spark.state import (BloomState, CMSState, CuckooState, HLLState,
                                   TopKState, sketch_from_bytes)
 
 __all__ = ["hll_estimate", "cms_counts", "topk_values", "bloom_contains",
-           "bloom_contains_sharded", "cuckoo_contains", "cms_count_col",
+           "bloom_contains_sharded", "bloom_contains_join",
+           "cuckoo_contains", "cuckoo_contains_join", "cms_count_col",
            "quantiles", "sketch_info", "hash_pandas"]
 
 
@@ -363,6 +364,115 @@ def bloom_contains_sharded(spark: SparkSession, shard_states, col: Column,
         return pd.Series(out)
 
     return probe(col)
+
+
+def _probe_hashes_df(probes: DataFrame, value_col: str, element: str,
+                     n_shards: int, algo: str) -> DataFrame:
+    """[value_col, h1, shard] for a probe DataFrame (row-level element
+    kinds only — each row is one probe)."""
+    import pyarrow as pa
+    from pyspark.sql.types import IntegerType
+
+    from gostatix_spark.agg import _to_arrow_schema, extract_hashes
+
+    schema = StructType([probes.schema[value_col],
+                         StructField("h1", LongType(), False),
+                         StructField("h2", LongType(), False),
+                         StructField("shard", IntegerType(), False)])
+
+    def fn(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h1, h2, rowmap = extract_hashes(batch.column(value_col),
+                                            element, algo)
+            if rowmap is not None:
+                raise ValueError(
+                    "probe joins need row-level element kinds")
+            yield pa.RecordBatch.from_pydict(
+                {value_col: batch.column(value_col),
+                 "h1": pa.array(h1.astype(np.int64)),
+                 "h2": pa.array(h2.astype(np.int64)),
+                 "shard": pa.array(
+                     hashing.shard_of(h1, n_shards).astype(np.int32))},
+                schema=_to_arrow_schema(schema))
+
+    return probes.select(value_col).mapInArrow(fn, schema)
+
+
+def _contains_join(states: DataFrame, probes: DataFrame, value_col: str,
+                   element: str, n_shards: int, algo: str,
+                   lookup_fn, out_col: str) -> DataFrame:
+    """Shared shard-routed membership join: probes shuffle (by shard)
+    to wherever their owning shard's state row lands; a cogrouped
+    applyInPandas runs the vectorized lookup. This is the probe path
+    for filter sets too large to broadcast (e.g. 4096 cuckoo shards ×
+    GBs): each task holds ONE shard's state + its probes, nothing is
+    collected or broadcast. Returns ``[value_col, out_col]``."""
+    out_schema = StructType([probes.schema[value_col],
+                             StructField(out_col, BooleanType(), False)])
+    hashes = _probe_hashes_df(probes, value_col, element, n_shards, algo)
+
+    def apply_fn(spdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(ppdf):
+            return pd.DataFrame(columns=[value_col, out_col])
+        if not len(spdf):
+            # no state row for this shard: builds emit every shard, so
+            # this means the states side was filtered — treat as empty
+            # filter (nothing was inserted there)
+            return pd.DataFrame({value_col: ppdf[value_col],
+                                 out_col: np.zeros(len(ppdf), dtype=bool)})
+        st = sketch_from_bytes(bytes(spdf["state"].iloc[0]))
+        h1 = ppdf["h1"].to_numpy().astype(np.int64).view(np.uint64)
+        h2 = ppdf["h2"].to_numpy().astype(np.int64).view(np.uint64)
+        return pd.DataFrame({value_col: ppdf[value_col],
+                             out_col: lookup_fn(st, h1, h2)})
+
+    return (states.groupBy("shard")
+            .cogroup(hashes.groupBy("shard"))
+            .applyInPandas(apply_fn, out_schema))
+
+
+def cuckoo_contains_join(states: DataFrame, probes: DataFrame,
+                         value_col: str, *, n_shards: int,
+                         element: str | None = None,
+                         out_col: str = "contained") -> DataFrame:
+    """Broadcast-free cuckoo membership: route probes to shards by the
+    build's rule and look up inside a cogrouped task — the scale path
+    past ~10 GB of total filter state where :func:`cuckoo_contains`'s
+    broadcast stops being viable. ``states`` is raw
+    :func:`gostatix_spark.agg.cuckoo_build` (or
+    ``cuckoo_apply_removals``) output — never collected."""
+    from gostatix_spark.agg import infer_element
+
+    element = infer_element(probes, value_col, element)
+
+    def lookup(st: CuckooState, h1, h2):
+        f = cuckoo.CuckooFilter(st.size, st.bucket_size, st.fp_len,
+                                st.retries, buckets=st.buckets,
+                                length=st.length)
+        return f.lookup_hashes(h1)
+
+    return _contains_join(states, probes, value_col, element, n_shards,
+                          "murmur3", lookup, out_col)
+
+
+def bloom_contains_join(states: DataFrame, probes: DataFrame,
+                        value_col: str, *, n_shards: int,
+                        element: str | None = None,
+                        out_col: str = "contained") -> DataFrame:
+    """Broadcast-free sharded-bloom membership (see
+    :func:`cuckoo_contains_join`); ``states`` is raw
+    :func:`gostatix_spark.agg.bloom_build_sharded` output."""
+    from gostatix_spark.agg import infer_element
+
+    element = infer_element(probes, value_col, element)
+
+    def lookup(st: BloomState, h1, h2):
+        return bloom.lookup_batch(st.words, h1, h2, st.k, st.m)
+
+    return _contains_join(states, probes, value_col, element, n_shards,
+                          "metro", lookup, out_col)
 
 
 def cms_count_col(spark: SparkSession, state_blob: bytes, col: Column,

@@ -22,12 +22,26 @@ from pyspark.sql import SparkSession
 
 def get_spark(app: str = "gostatix-spark", cores: int | None = None,
               shuffle_partitions: int | None = None,
-              max_partition_bytes: str = "128m") -> SparkSession:
+              max_partition_bytes: str = "128m",
+              arrow_batch_rows: int = 10000,
+              active_processors: int | None = None) -> SparkSession:
+    """``arrow_batch_rows`` bounds every Arrow-batched UDF's working
+    set (rows × avg element size). 10k is safe for text-heavy columns
+    (dedup UDFs see ~KB texts); numeric/token-only pipelines can raise
+    it (e.g. 32k in the throughput bench) to amortize the JVM↔Python
+    IPC round-trips over bigger batches.
+
+    ``active_processors`` sets ``-XX:ActiveProcessorCount`` so the JVM
+    sizes its GC/JIT/netty/ForkJoin pools for N cores — the same
+    mechanism container runtimes use for a real N-core executor.
+    ``local[N]`` alone caps only task slots; the JVM's service threads
+    otherwise assume all 32 host CPUs. Only honored at JVM launch (the
+    first session in a process)."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(32, cores)
-    return (
+    builder = (
         SparkSession.builder
         .master(f"local[{cores}]")
         .appName(app)
@@ -35,10 +49,15 @@ def get_spark(app: str = "gostatix-spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(arrow_batch_rows))
         .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if active_processors is not None:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={int(active_processors)}")
+    return builder.getOrCreate()

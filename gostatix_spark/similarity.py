@@ -56,18 +56,34 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select(q_id_col, "rank", id_col, "cosine"))
 
 
-def hyperplane_signature(df: DataFrame, vec_col: str, dim: int,
+def hyperplane_signature(df: DataFrame, vec_col: str, dim: int | None = None,
                          n_bits: int = 16, seed: int = 9,
                          out_col: str = "lsh_sig") -> DataFrame:
     """Random-hyperplane sign signature as a long column — vectorized
-    numpy (one matmul per Arrow batch)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+    numpy (one matmul per Arrow batch).
+
+    ``dim`` may be omitted: the hyperplanes are derived from
+    ``(seed, dim, n_bits)`` by a fresh seeded generator, so every
+    worker/batch reconstructs the SAME planes from the vectors it sees
+    — no driver-side ``.first()`` to sniff the dimension (one fewer
+    Spark job per query)."""
+    plane_cache: dict[int, np.ndarray] = {}
+    if dim is not None:
+        plane_cache[dim] = (np.random.default_rng(seed)
+                            .standard_normal((dim, n_bits))
+                            .astype(np.float32))
+
+    def planes_for(d: int) -> np.ndarray:
+        if d not in plane_cache:
+            plane_cache[d] = (np.random.default_rng(seed)
+                              .standard_normal((d, n_bits))
+                              .astype(np.float32))
+        return plane_cache[d]
 
     @F.pandas_udf(LongType())
     def sig(vs: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(v, dtype=np.float32) for v in vs])
-        bits = (mat @ planes) > 0
+        bits = (mat @ planes_for(mat.shape[1])) > 0
         vals = np.zeros(len(vs), dtype=np.int64)
         for j in range(n_bits):
             vals |= bits[:, j].astype(np.int64) << j
@@ -77,7 +93,8 @@ def hyperplane_signature(df: DataFrame, vec_col: str, dim: int,
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,
-             dim: int, n_bits: int = 12, prefix_bits: int = 6, seed: int = 9,
+             dim: int | None = None, n_bits: int = 12, prefix_bits: int = 6,
+             seed: int = 9,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
     """Approximate top-k: equi-join on the top ``prefix_bits`` of the

@@ -282,3 +282,41 @@ class TestBloomSharded:
         st1 = sfb(bytes(single.collect()[0]["state"]))
         total_sharded_bits = sum(s.m for s in sts)
         assert abs(total_sharded_bits - st1.m) / st1.m < 0.01
+
+
+class TestJoinProbes:
+    def test_cuckoo_contains_join(self, spark, corpus):
+        """Broadcast-free probe path: states never collected; results
+        match the broadcast probe exactly."""
+        from gostatix_spark.agg import cuckoo_apply_removals
+        from gostatix_spark.query import cuckoo_contains_join
+        states = cuckoo_build(corpus, "doc_id", element="string",
+                              n_shards=4, eps=0.001)
+        removals = corpus.where("int(substr(doc_id, 5)) % 3 = 0") \
+            .select("doc_id")
+        states = cuckoo_apply_removals(states, removals, "doc_id",
+                                       element="string", n_shards=4)
+        probes = corpus.select("doc_id")
+        got = {r["doc_id"]: r["contained"] for r in
+               cuckoo_contains_join(states, probes, "doc_id",
+                                    n_shards=4, element="string").collect()}
+        assert len(got) == N_DOCS
+        shard_map = {r["shard"]: bytes(r["state"]) for r in states.collect()}
+        want = {r["doc_id"]: r["hit"] for r in probes.withColumn(
+            "hit", cuckoo_contains(spark, shard_map, F.col("doc_id"),
+                                   "string", n_shards=4)).collect()}
+        assert got == want
+        kept = [d for d in got
+                if int(d[4:]) % 3 != 0]
+        assert all(got[d] for d in kept)  # no false negatives
+
+    def test_bloom_contains_join(self, spark, corpus):
+        from gostatix_spark.agg import bloom_build_sharded
+        from gostatix_spark.query import bloom_contains_join
+        states = bloom_build_sharded(corpus, "doc_id", element="string",
+                                     n=N_DOCS, eps=0.01, n_shards=8)
+        probes = corpus.select("doc_id")
+        got = bloom_contains_join(states, probes, "doc_id", n_shards=8,
+                                  element="string")
+        assert got.where(~F.col("contained")).count() == 0
+        assert got.count() == N_DOCS

@@ -65,3 +65,35 @@ def test_exact_dedup_stays_jvm(spark):
     plan = _plan(exact_dedup(docs, "text", "doc_id"))
     assert "Python" not in plan  # pure JVM: project + hash aggregate
     assert "HashAggregate" in plan
+
+
+def test_bloom_sharded_single_exchange(spark):
+    """The sharded bloom build keeps the two-phase shape: one pass over
+    the data (MapInArrow emits n_shards partial rows per partition),
+    ONE Exchange of those tiny rows, per-shard merge."""
+    from gostatix_spark.agg import bloom_build_sharded
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    states = bloom_build_sharded(docs, "doc_id", n=5000, eps=0.01,
+                                 n_shards=8)
+    plan = _plan(states)
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInArrow" in plan and "FlatMapGroupsInPandas" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) \
+        == {"doc_id"}
+
+
+def test_cuckoo_removals_cogroup_no_extra_exchange(spark):
+    """Build + removals: each side shuffles once to its (shard) group;
+    the cogrouped apply adds no further Exchange, and no element-sized
+    collect appears (everything stays as DataFrame ops)."""
+    from gostatix_spark.agg import cuckoo_apply_removals, cuckoo_build
+    supp = spark.read.parquet(f"{SF}/supplier.parquet")
+    states = cuckoo_build(supp, "s_suppkey", n_shards=4, eps=0.01)
+    removals = supp.where("s_suppkey % 2 = 0").select("s_suppkey")
+    after = cuckoo_apply_removals(states, removals, "s_suppkey", n_shards=4)
+    plan = _plan(after)
+    # one Exchange per cogroup side for the states (build: hashes →
+    # shard groups) and one for the removal hashes
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 3, plan
