@@ -229,20 +229,16 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
               .join(cand_hashes.select(F.col("id").alias("id_b"),
                                        F.col("_h").alias("_hb")), "id_b"))
 
-    from pyspark.sql.types import DoubleType
-
-    @F.pandas_udf(DoubleType())
-    def jac(ha: pd.Series, hb: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(ha, hb):
-            a = np.asarray(x, dtype=np.int64)
-            b = np.asarray(y, dtype=np.int64)
-            inter = len(np.intersect1d(a, b, assume_unique=True))
-            out.append(float(inter) / max(1, len(a) + len(b) - inter))
-        return pd.Series(out)
-
+    # exact Jaccard fully JVM-side: the hash arrays are distinct by
+    # construction, so |A∩B| = size(array_intersect) exactly — stays in
+    # whole-stage codegen instead of round-tripping every candidate
+    # pair's arrays through Arrow into a Python UDF
+    common = F.size(F.array_intersect("_ha", "_hb"))
+    jaccard = (common.cast("double")
+               / F.greatest(F.lit(1),
+                            F.size("_ha") + F.size("_hb") - common))
     return (paired
-            .withColumn("jaccard", jac("_ha", "_hb"))
+            .withColumn("jaccard", jaccard)
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 
