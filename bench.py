@@ -223,7 +223,7 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
         # extra sessions refine the estimate and cannot inflate it),
         # budget, or session cap.
         budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC",
-                                      "900"))
+                                      "1300"))
         min_pairs = max(2, reps)
         max_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_PAIRS", "5"))
         lo_, hi_ = pair
@@ -232,9 +232,31 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
             ws = sorted(walls[cs])
             return float("inf") if len(ws) < 2 else ws[1] / ws[0] - 1.0
 
+        def wait_for_quiet(max_wait: float = 300.0,
+                           threshold: float = 2.5) -> None:
+            """Hold off starting a session pair while the host is
+            visibly loaded by co-tenants (nothing of ours runs between
+            sessions, so 1-min load ≈ their footprint). Sustained load
+            makes BOTH levels' walls plateau 2× high — two equally
+            inflated samples would then pass the convergence check, so
+            the only honest move is to not measure until the instrument
+            is usable (bounded: after ``max_wait`` we proceed anyway
+            and let the min statistic do what it can)."""
+            waited = 0.0
+            while waited < max_wait:
+                with open("/proc/loadavg") as f:
+                    load1 = float(f.read().split()[0])
+                if load1 <= threshold:
+                    return
+                print(f"#   scaling: host load {load1:.1f} > {threshold}, "
+                      f"waiting for a quiet window", flush=True)
+                time.sleep(30)
+                waited += 30
+
         t_sched = time.perf_counter()
         pairs_done = 0
         while pairs_done < max_pairs:
+            wait_for_quiet()
             for cores in pair:
                 passes = _scaling_rep_subprocess(cores, corpus_path,
                                                  input_bytes, n_docs)
@@ -246,8 +268,14 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                       f"({n_tokens/w:.0f} tok/s)", flush=True)
             pairs_done += 1
             elapsed = time.perf_counter() - t_sched
+            # efficiency > 1 is physically impossible for this workload,
+            # so a superlinear min-ratio PROVES the lo-level walls are
+            # inflated (interference from neighbor VMs is invisible to
+            # our loadavg) — such a state must never count as converged
+            eff_now = (min(walls[lo_]) / min(walls[hi_])) / (hi_ / lo_)
             converged = (pairs_done >= min_pairs
-                         and gap(lo_) <= 0.03 and gap(hi_) <= 0.03)
+                         and gap(lo_) <= 0.03 and gap(hi_) <= 0.03
+                         and eff_now <= 1.02)
             if converged or elapsed > budget:
                 print(f"#   scaling stop after {pairs_done} session pairs "
                       f"({'converged' if converged else 'budget'}, "
@@ -285,8 +313,14 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
     out["per_rep_efficiency"] = per_rep_eff
     out["scaling_efficiency_median_pairs"] = round(
         statistics.median(per_rep_eff), 3)
-    out[f"scaling_efficiency_{lo}_to_{hi}"] = round(
-        (min(walls[lo]) / min(walls[hi])) / (hi / lo), 3)
+    eff_raw = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
+    out["scaling_efficiency_raw"] = round(eff_raw, 3)
+    if eff_raw > 1.0:
+        # impossible → the lo min never escaped an interference window;
+        # report the clamp, flag it, leave every wall visible
+        out["lo_walls_inflated"] = True
+        eff_raw = 1.0
+    out[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff_raw, 3)
     return out
 
 
