@@ -255,9 +255,17 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
 
         t_sched = time.perf_counter()
         pairs_done = 0
-        while pairs_done < max_pairs:
+        over_budget = False
+        while pairs_done < max_pairs and not over_budget:
             wait_for_quiet()
             for cores in pair:
+                # bound the worst case between sessions too — one
+                # noise-inflated session pair can otherwise overshoot
+                # the budget by ~10 minutes after the pair-level check
+                if pairs_done >= 1 and \
+                        time.perf_counter() - t_sched > budget:
+                    over_budget = True
+                    break
                 passes = _scaling_rep_subprocess(cores, corpus_path,
                                                  input_bytes, n_docs)
                 w = min(passes)
@@ -266,6 +274,9 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                 print(f"#   scaling session {pairs_done + 1} cores={cores}: "
                       f"passes {passes} → {w:.1f}s "
                       f"({n_tokens/w:.0f} tok/s)", flush=True)
+            if over_budget:
+                print(f"#   scaling stop mid-pair (budget)", flush=True)
+                break
             pairs_done += 1
             elapsed = time.perf_counter() - t_sched
             # efficiency > 1 is physically impossible for this workload,
