@@ -131,6 +131,22 @@ def q_topk_partkeys_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("est_count").alias("cnt")))
 
 
+def q_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K heavy hitters over a STRING element (words of
+    documents.text) — the canonical URL/domain-style workload; phase 1
+    counts each Arrow batch with one C++ value_counts call
+    (kernels/topk.py BytesCounts), no per-element Python. The word
+    vocabulary (~31) is far below k·slack=160, so every partition's
+    candidate set contains ALL distinct words and exact mode is
+    guaranteed exact — the GROUP BY is a true oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    states = sketch_agg(words, "topk", "word", k=20, eps=0.0001, slack=8)
+    return (topk_values(states, exact=True, decode="string")
+            .select("rank", F.col("element").alias("word"),
+                    F.col("est_count").alias("cnt")))
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHARDED bloom over all document ids, probe the same ids: a Bloom
     filter has NO false negatives, so `contained` is exactly TRUE for
@@ -395,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_annotate": q_cms_annotate,
         "topk_partkeys": q_topk_partkeys,
         "topk_partkeys_cms": q_topk_partkeys_cms,
+        "topk_words": q_topk_words,
         "bloom_membership": q_bloom_membership,
         "bloom_semijoin": q_bloom_semijoin,
         "cuckoo_membership": q_cuckoo_membership,
@@ -455,6 +472,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_partkey ASC)"
             " AS rank, l_partkey, COUNT(*) AS cnt FROM lineitem"
             " GROUP BY l_partkey ORDER BY cnt DESC, l_partkey ASC LIMIT 20"),
+        "topk_words": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word"
+            " FROM documents)"
+            " SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC)"
+            " AS rank, word, COUNT(*) AS cnt FROM w"
+            " GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20"),
         "bloom_membership": (
             "SELECT doc_id, TRUE AS contained FROM documents"),
         "bloom_semijoin": (

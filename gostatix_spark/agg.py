@@ -123,6 +123,10 @@ def element_values(arr: pa.Array, element: str):
         return arr.to_numpy(zero_copy_only=False).astype(np.int64)
     if element == "float64":
         return arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    if element in ("string", "binary"):
+        # returned as the Arrow array itself: BytesCounts counts it with
+        # one C++ value_counts call per batch — no per-element Python
+        return arr
     return element_bytes(arr, element)
 
 
@@ -156,6 +160,17 @@ def element_bytes(arr: pa.Array, element: str) -> list[bytes]:
         b = values.astype(">u4").tobytes()
         return [b[offsets[i] * 4:offsets[i + 1] * 4] for i in range(len(arr))]
     raise ValueError(f"element kind {element!r} has no row-level bytes")
+
+
+def _select_elems(elems, sel: np.ndarray):
+    """Group-select from whatever :func:`element_values` returned:
+    numpy fancy-index, Arrow take (string/binary — stays in C++), or a
+    Python-list gather (token_array rows)."""
+    if isinstance(elems, np.ndarray):
+        return elems[sel]
+    if isinstance(elems, (pa.Array, pa.ChunkedArray)):
+        return elems.take(pa.array(sel, type=pa.int64()))
+    return [elems[i] for i in sel]
 
 
 def infer_element(df: DataFrame, value_col: str, element: str | None) -> str:
@@ -242,7 +257,9 @@ class _Spec:
         if self.kind == "topk":
             if self.element in ("tokens", "int32", "int64"):
                 return [topk.IntCounts(), 0]
-            return [Counter(), 0]
+            if self.element in ("string", "binary"):
+                return [topk.BytesCounts(), 0]
+            return [Counter(), 0]  # token_array rows
         if self.kind == "tdigest":
             m, w = tdigest.new_state()
             return [m, w, 0]
@@ -437,8 +454,7 @@ def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
                     sel = order[bounds[g]:bounds[g + 1]]
                     acc = accs.setdefault(key, spec.init())
                     if needs_elems:
-                        grp = (elems[sel] if isinstance(elems, np.ndarray)
-                               else [elems[i] for i in sel])
+                        grp = _select_elems(elems, sel)
                     else:
                         grp = None
                     spec.update(acc, h1[sel], h2[sel], grp)
@@ -652,8 +668,14 @@ def multi_sketch_agg(df: DataFrame, jobs: list[dict],
                     # the group sort over element codes (12M-element
                     # argsort for token columns) is shared by every job
                     # on the same (key col, value col) — e.g. per-source
-                    # HLL and CMS over tokens sort once, not twice
-                    gk = (kcol, vcol)
+                    # HLL and CMS over tokens sort once, not twice.
+                    # The cache key MUST include whether the job's element
+                    # kind flattens rows (rowmap is not None): a flattened
+                    # job (e.g. HLL over 'tokens') and a per-row job (e.g.
+                    # Bloom over 'token_array') on the SAME columns build
+                    # selection arrays of different lengths — sharing them
+                    # would misgroup sketches or raise IndexError.
+                    gk = (kcol, vcol, rowmap is not None)
                     if gk not in group_cache:
                         ecodes = codes if rowmap is None else codes[rowmap]
                         order = np.argsort(ecodes, kind="stable")
@@ -669,8 +691,7 @@ def multi_sketch_agg(df: DataFrame, jobs: list[dict],
                         acc = accs.setdefault((name, str(key)), spec.init())
                         grp = None
                         if elems is not None:
-                            grp = (elems[sel] if isinstance(elems, np.ndarray)
-                                   else [elems[i] for i in sel])
+                            grp = _select_elems(elems, sel)
                         spec.update(acc, h1[sel], h2[sel], grp)
                         rows_seen[(name, str(key))] = rows_seen.get(
                             (name, str(key)), 0) + int(row_counts[g])

@@ -104,6 +104,51 @@ class IntCounts:
         return [(int(self.uniq[i]), int(self.counts[i])) for i in order[:n]]
 
 
+class BytesCounts:
+    """Vectorized exact counts for string/binary elements: each Arrow
+    batch is counted in one C++ ``pyarrow.compute.value_counts`` call
+    (dictionary-encode + bincount under the hood); Python touches only
+    the DISTINCT values per batch, never the elements. Drop-in for the
+    ``Counter`` interface :func:`partial_from_counter` consumes
+    (``keys``/``values``/``most_common``)."""
+
+    __slots__ = ("d",)
+
+    def __init__(self):
+        self.d: dict[bytes, int] = {}
+
+    def update(self, values) -> None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            vc = pc.value_counts(values)
+            vals = vc.field("values")
+            counts = vc.field("counts").to_numpy(zero_copy_only=False)
+            is_str = (pa.types.is_string(vals.type)
+                      or pa.types.is_large_string(vals.type))
+            d = self.d
+            for v, c in zip(vals.to_pylist(), counts):
+                if v is None:
+                    continue  # sketch inputs are null-filtered upstream
+                key = v.encode("utf-8") if is_str else v
+                d[key] = d.get(key, 0) + int(c)
+        else:  # list[bytes] fallback (driver-side probes, tests)
+            d = self.d
+            for v in values:
+                d[v] = d.get(v, 0) + 1
+
+    # Counter-compatible surface
+    def keys(self):
+        return self.d.keys()
+
+    def values(self):
+        return self.d.values()
+
+    def most_common(self, n: int | None = None):
+        items = sorted(self.d.items(), key=lambda t: (-t[1], t[0]))
+        return items if n is None else items[:n]
+
+
 def partial_from_int_counts(ic: IntCounts, element: str, k: int, slack: int,
                             d: int, w: int):
     """Phase-1 finalize for integer elements: CMS update over ALL

@@ -118,6 +118,35 @@ class TestTopKAgg:
             [(r["t"], r["cnt"]) for r in oracle]
 
 
+    def test_string_topk_vectorized_vs_oracle(self, spark, corpus):
+        """String elements go through the BytesCounts value_counts path
+        (not the old per-element Counter); exact mode must equal the
+        GROUP BY oracle, global and keyed."""
+        k = 3
+        states = sketch_agg(corpus, "topk", "source", element="string",
+                            k=k, eps=0.0001, slack=4)
+        oracle = (corpus.groupBy("source").agg(F.count("*").alias("cnt"))
+                  .orderBy(F.desc("cnt"), F.asc("source")).limit(k).collect())
+        got = (topk_values(states, exact=True, decode="string")
+               .orderBy("rank").collect())
+        assert [(r["element"], r["est_count"]) for r in got] == \
+            [(r["source"], r["cnt"]) for r in oracle]
+        # keyed path exercises Arrow-take group selection: all doc_ids
+        # are unique (count 1), so top-2 per source = the 2 smallest ids
+        keyed = sketch_agg(corpus, "topk", "doc_id", element="string",
+                           key_col="source", k=2, eps=0.0001)
+        got_k = {(r["source"], r["rank"]): r["element"]
+                 for r in topk_values(keyed, exact=True,
+                                      decode="string").collect()}
+        oracle_k = (corpus.selectExpr(
+                        "source", "doc_id",
+                        "row_number() over (partition by source"
+                        " order by doc_id asc) as rn")
+                    .where("rn <= 2").collect())
+        for r in oracle_k:
+            assert got_k[(r["source"], r["rn"])] == r["doc_id"]
+
+
 class TestCuckooAgg:
     def test_membership_sharded(self, spark, corpus):
         states = cuckoo_build(corpus, "doc_id", element="string", n_shards=4,
@@ -158,6 +187,34 @@ class TestMultiSketchAgg:
         topk_single = sketch_agg(corpus, "topk", "tokens", k=5, eps=0.0001)
         assert sketch_from_bytes(got[("topk", None)]).equals(
             sketch_from_bytes(bytes(topk_single.collect()[0]["state"])))
+
+
+    def test_mixed_element_kinds_share_columns(self, spark, corpus):
+        """Regression (round-2 verdict #1): two jobs over the SAME
+        (key_col, value_col) with different element kinds — flattened
+        'tokens' vs per-row 'token_array' — must not share the group
+        cache's selection arrays (their lengths differ)."""
+        from gostatix_spark.agg import multi_sketch_agg
+        got = {(r["sketch_name"], r["key"]): bytes(r["state"])
+               for r in multi_sketch_agg(corpus, [
+                   {"name": "hll_tok", "kind": "hll", "value_col": "tokens",
+                    "key_col": "source", "params": {"m": 1024}},
+                   {"name": "bloom_arr", "kind": "bloom",
+                    "value_col": "tokens", "key_col": "source",
+                    "element": "token_array",
+                    "params": {"n": N_DOCS, "eps": 0.01}},
+               ]).collect()}
+        hll_single = sketch_agg(corpus, "hll", "tokens", key_col="source",
+                                m=1024)
+        for r in hll_single.collect():
+            assert sketch_from_bytes(got[("hll_tok", r["source"])]).equals(
+                sketch_from_bytes(bytes(r["state"])))
+        bloom_single = sketch_agg(corpus, "bloom", "tokens",
+                                  key_col="source", element="token_array",
+                                  n=N_DOCS, eps=0.01)
+        for r in bloom_single.collect():
+            assert sketch_from_bytes(got[("bloom_arr", r["source"])]).equals(
+                sketch_from_bytes(bytes(r["state"])))
 
 
 class TestElementKinds:
