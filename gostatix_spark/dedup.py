@@ -151,6 +151,22 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                      sig(F.col(text_col)).alias("sig"))
 
 
+def _band_bucket_cols(num_perm: int, bands: int) -> list:
+    """Per-band bucket columns over a ``sig`` array column. Bands are
+    clamped to ``min(bands, num_perm)`` (a slice past the signature end
+    would hash a constant empty array — every doc in one bucket →
+    quadratic self-join) and the LAST band absorbs ``num_perm % bands``
+    trailing values so no signature positions are silently dropped."""
+    bands = min(bands, num_perm)
+    rows_per_band = max(1, num_perm // bands)
+    cols = []
+    for i in range(bands):
+        length = (rows_per_band if i < bands - 1
+                  else num_perm - (bands - 1) * rows_per_band)
+        cols.append(F.hash(F.slice("sig", i * rows_per_band + 1, length)))
+    return cols
+
+
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 32,
                         num_perm: int | None = None) -> DataFrame:
     """Band the signatures and emit candidate pairs that share ≥1 band
@@ -159,16 +175,16 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 32,
     → self-join on (band, bucket) → distinct (a < b) pairs. Shuffles
     only (id, band, bucket-hash) rows.
 
+    ``num_perm`` is required (callers know their signature length; a
+    driver-side ``.first()`` sniff would add a hidden job).
+
     (Previous shape — posexplode → groupBy(id, band) →
     ``F.hash(collect_list(v))`` — depended on collect_list element
     order, which Spark does not guarantee across shuffles; slice keeps
     signature order by construction and drops the extra Exchange.)"""
     if num_perm is None:
-        num_perm = len(sigs.select("sig").first()["sig"])
-    rows_per_band = max(1, num_perm // bands)
-    band_buckets = F.array(*[
-        F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
-        for i in range(bands)])
+        raise ValueError("num_perm is required (signature length)")
+    band_buckets = F.array(*_band_bucket_cols(num_perm, bands))
     banded = sigs.select(
         "id", F.posexplode(band_buckets).alias("band", "bucket"))
     a = banded.alias("a")
@@ -190,23 +206,45 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     Output: [id_a, id_b, jaccard] with jaccard ≥ threshold. Exactness
     of the verify step means the pipeline can only *miss* pairs
     (LSH/prefilter recall), never emit a false positive."""
-    # signatures feed the LSH join AND both sides of the prefilter —
-    # persist so the UDF runs once per row, not once per consumer
+    # signatures feed both sides of the band self-join — persist so the
+    # UDF runs once per row, not once per join side
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
                               seed).persist()
-    cands = lsh_candidate_pairs(sigs, bands, num_perm=num_perm)
+    # The signature travels THROUGH the band join so the agreement
+    # prefilter runs INLINE on the raw join output — filter first,
+    # dedup after. The alternative (distinct the candidate pairs, then
+    # join the signature table back on twice) shuffles the candidate
+    # table three times; on low-entropy corpora the raw candidate count
+    # is near-quadratic (≈1M pairs from 5k docs here), so shuffling it
+    # repeatedly dominates the whole pipeline. Carrying the sig costs
+    # bands× extra signature bytes in ONE shuffle — linear in docs,
+    # not pairs, which is the right trade at any scale where LSH is
+    # useful (candidates ≫ docs).
+    banded = sigs.select(
+        "id", "sig",
+        F.posexplode(F.array(*_band_bucket_cols(num_perm, bands)))
+        .alias("band", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
     # JVM prefilter: fraction of agreeing permutations estimates Jaccard;
     # exact-verify only pairs estimated ≥ ~threshold (small slack for
     # estimator variance ≈ sqrt(t(1-t)/num_perm))
     slack = 2.0 * (threshold * (1 - threshold) / num_perm) ** 0.5
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("_sa"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("_sb"))
     est = F.aggregate(
-        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+        F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                   lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda acc, x: acc + x) / num_perm
-    cands = (cands.join(sa, "id_a").join(sb, "id_b")
+    cands = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                        F.col("a.bucket") == F.col("b.bucket"),
+                        F.col("a.id") < F.col("b.id")])
              .where(est >= threshold - slack)
-             .select("id_a", "id_b"))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    # the prefiltered candidate set is small (survivors of the ≥threshold
+    # estimate); materialize it so the cached signatures can be released
+    # instead of pinning executor memory for the verify stage's lifetime
+    cands = cands.localCheckpoint(eager=True)
+    sigs.unpersist()
     # exact verify: materialize each CANDIDATE doc's distinct shingle-hash
     # array ONCE (a doc in P candidate pairs was previously re-shingled P
     # times, and full texts were shuffled into the pair join); the pair
@@ -275,7 +313,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
-                       n_chunks: int | None = None) -> DataFrame:
+                       n_chunks: int | None = None,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup candidates by pigeonhole: split the 64-bit simhash into
     ``n_chunks`` (default ``max_hamming + 1``) bit ranges; hamming ≤
     max_hamming ⇒ at least one chunk matches exactly, so one equi-join
@@ -285,6 +324,16 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
 
     Cost/selectivity trade-off: more chunks → complete for larger
     hamming radii but narrower chunks → bigger candidate buckets.
+
+    ``max_bucket_size`` bounds the candidate volume at extreme scale:
+    a chunk value shared by B docs contributes O(B²) join rows, so one
+    hot 16-bit value at 10⁹ docs is a quadratic block. With the cap,
+    chunk-i buckets larger than the cap are excluded from chunk i's
+    join (a cheap per-chunk count + broadcast anti-join). Recall
+    trade, like ``ngram_jaccard_pairs(max_gram_df=...)``: a pair is
+    lost only if EVERY chunk where it matches is hot — pairs matching
+    in any cold chunk are still found. Default off for pigeonhole
+    completeness.
     """
     if n_chunks is None:
         n_chunks = min(16, max_hamming + 1)
@@ -299,8 +348,14 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
     chunks = sims.select("id", "simhash", *chunk_cols)
     pairs = None
     for i in range(n_chunks):
-        a = chunks.alias("a")
-        b = chunks.alias("b")
+        side = chunks
+        if max_bucket_size:
+            hot = (chunks.groupBy(f"c{i}").count()
+                   .where(F.col("count") > max_bucket_size)
+                   .select(f"c{i}"))
+            side = chunks.join(F.broadcast(hot), f"c{i}", "left_anti")
+        a = side.alias("a")
+        b = side.alias("b")
         p = (a.join(b, [F.col(f"a.c{i}") == F.col(f"b.c{i}"),
                         F.col("a.id") < F.col("b.id")])
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),

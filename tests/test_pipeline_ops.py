@@ -98,6 +98,26 @@ class TestSimHash:
                dedup.simhash(df, "text", "id").collect()}
         assert got[1] == 0
 
+    def test_hot_bucket_cap(self, spark):
+        """max_bucket_size bounds quadratic blocks: a 20-doc identical
+        block (every chunk bucket hot) is pruned, while a planted pair
+        whose buckets stay cold is still found."""
+        base = " ".join(f"word{i}" for i in range(60))
+        hot_block = [(i, base) for i in range(100, 120)]
+        cold_pair = [(1, " ".join(f"unique{i}" for i in range(60))),
+                     (2, " ".join(f"unique{i}" for i in range(60)) + " tail")]
+        df = spark.createDataFrame(hot_block + cold_pair, ["id", "text"])
+        sims = dedup.simhash(df, "text", "id")
+        capped = {(r["id_a"], r["id_b"]) for r in
+                  dedup.simhash_near_pairs(sims, max_hamming=16,
+                                           max_bucket_size=5).collect()}
+        assert (1, 2) in capped                       # cold pair survives
+        assert not any(a >= 100 and b >= 100 for a, b in capped)  # hot pruned
+        # without the cap the hot block's pairs are all present
+        full = {(r["id_a"], r["id_b"]) for r in
+                dedup.simhash_near_pairs(sims, max_hamming=16).collect()}
+        assert (100, 101) in full and (1, 2) in full
+
 
 class TestNgramJaccard:
     def test_matches_python_reference(self, spark):
