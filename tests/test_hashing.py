@@ -27,11 +27,47 @@ def test_murmur3_public_vectors():
     assert H.murmur3_128(b"", 0) == (0, 0)
 
 
+def test_metrohash128_official_vector():
+    """The OFFICIAL MetroHash128 test vector from the public metrohash
+    repository: hashing the 63-byte key with seed 0 must produce the
+    published digest C77CE2BFA4ED9F9B0548B2AC5074A297 (hex of the
+    little-endian output words). This binds the kernel to the published
+    algorithm EXTERNALLY — perturbing any constant turns this red."""
+    from metro_reference import TEST_KEY_63
+    want = "c77ce2bfa4ed9f9b0548b2ac5074a297"
+    # scalar kernel
+    h1, h2 = H.metrohash128(TEST_KEY_63, 0)
+    assert (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")).hex() == want
+    # vectorized kernel (1-row matrix)
+    mat = np.frombuffer(TEST_KEY_63, dtype=np.uint8)[None, :]
+    v1, v2 = H.metrohash128_vec(mat, 0)
+    assert (int(v1[0]).to_bytes(8, "little")
+            + int(v2[0]).to_bytes(8, "little")).hex() == want
+
+
+def test_metro_independent_transcription_agrees():
+    """Cross-attestation: tests/metro_reference.py is a SECOND,
+    independent transcription of go-metro Hash128 (different author
+    pass, pure-Python ints, no shared code with hashing.py). Agreement
+    across seeds and every length class means a transcription error in
+    either implementation fails here."""
+    from metro_reference import metro_hash128
+    items = [RNG.integers(0, 256, size=n).astype(np.uint8).tobytes()
+             for n in list(range(0, 70)) + [100, 255, 1024]]
+    for seed in (0, 1373, 2**63 + 17):
+        for b in items:
+            assert H.metrohash128(b, seed) == metro_hash128(b, seed), \
+                (seed, len(b))
+
+
 def test_golden_digests_stable():
-    # regression goldens produced by the scalar implementations (committed
-    # so any future kernel change that shifts hash values fails loudly)
+    # regression goldens: committed file (never regenerated at test time,
+    # so a wrong kernel on a fresh checkout cannot mint its own goldens);
+    # each metro entry is additionally re-derived through the independent
+    # transcription, tying the goldens to the external algorithm
     import json
     import pathlib
+    from metro_reference import metro_hash128
     gold_path = pathlib.Path(__file__).parent / "hash_goldens.json"
     inputs = {
         "John": b"John",
@@ -46,10 +82,10 @@ def test_golden_digests_stable():
         for algo in ("murmur3", "metro")
         for name, b in inputs.items()
     }
-    if not gold_path.exists():
-        gold_path.write_text(json.dumps(got, indent=1))
     want = json.loads(gold_path.read_text())
     assert got == want
+    for name, b in inputs.items():
+        assert list(metro_hash128(b, 1373)) == want[f"metro:{name}"]
 
 
 def test_token_encoding_canonical():
