@@ -379,6 +379,27 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.size("fingerprints").alias("n_fingerprints")))
 
 
+def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary columns under the hard gate: every document's
+    text is encoded into a zlib 'zraw' asset payload (the REAL codec,
+    multimodal.py:text_assets), decoded back through the validating
+    decode path (_zraw_raw — raises on corrupt payloads), and pooled
+    features are extracted (decode_features). The oracle compares the
+    DECODED text byte-for-byte against the source column, so a decode
+    that fabricates or truncates a single byte hash-mismatches."""
+    from gostatix_spark import multimodal
+    docs = _read(spark, sf_dir, "documents").repartition(32)
+    assets = multimodal.text_assets(docs, "text", "doc_id")
+    decoded = multimodal.decode_payloads(assets)
+    feats = multimodal.decode_features(assets, out_dim=8)
+    return (decoded.join(feats.select("asset_id",
+                                      F.size("features").alias("feat_dim")),
+                         "asset_id")
+            .select(F.col("asset_id").alias("doc_id"),
+                    F.col("payload").cast("string").alias("decoded_text"),
+                    "n_samples", "feat_dim"))
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 3 vectors (ids only —
     float scores stay engine-internal)."""
@@ -431,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "windowed_hll_gate": q_windowed_hll,
         "winnowing": q_winnowing,
+        "multimodal_roundtrip": q_multimodal_roundtrip,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
     }
@@ -574,6 +596,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT event_type || '|' || "
             "strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS etype_hour, "
             "TRUE AS within_bound FROM events"),
+        "multimodal_roundtrip": (
+            "SELECT doc_id, text AS decoded_text,"
+            " octet_length(CAST(text AS BLOB)) AS n_samples,"
+            " 8 AS feat_dim FROM documents"),
         "ann_bruteforce": ("""
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
                        FROM embeddings WHERE vec_id < 3),

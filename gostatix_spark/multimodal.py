@@ -33,7 +33,8 @@ from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
                                LongType, MapType, StringType, StructField,
                                StructType)
 
-__all__ = ["ASSET_SCHEMA", "make_assets", "decode_features", "frame_sample"]
+__all__ = ["ASSET_SCHEMA", "make_assets", "text_assets", "decode_features",
+           "decode_payloads", "frame_sample"]
 
 ASSET_SCHEMA = StructType([
     StructField("asset_id", LongType(), False),
@@ -65,7 +66,11 @@ def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256,
                 raw = rng.integers(0, 256, payload_bytes, dtype=np.uint8)
                 if codec == "zraw":
                     if kind == "image":
-                        w = 16
+                        # width clamps to the payload so the recorded
+                        # h×w always matches the truncated sample count
+                        # (payload_bytes < 16 used to record 1×16 over
+                        # a shorter payload and fail decode validation)
+                        w = min(16, max(1, payload_bytes))
                         h = max(1, payload_bytes // w)
                         raw = raw[: h * w]
                         meta = {"codec": "zraw", "kind": kind,
@@ -87,6 +92,57 @@ def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256,
     return spark.range(n).mapInArrow(gen, ASSET_SCHEMA)
 
 
+def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Encode REAL table content into the asset model: each row's text
+    becomes a zlib-compressed 1-D ``zraw`` payload (audio/video
+    alternating by id) with the sample count in ``meta``. This is the
+    encode half of a genuinely round-trippable pipeline — decoding the
+    assets must reproduce the source column byte-for-byte, which puts
+    the binary-column plumbing under a DuckDB oracle
+    (``__spark_entry__.q_multimodal_roundtrip``)."""
+    def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+        for pdf in pdfs:
+            rows = []
+            for aid, t in zip(pdf[id_col], pdf[text_col]):
+                b = t.encode("utf-8")
+                kind = "audio" if int(aid) % 2 == 0 else "video"
+                rows.append({"asset_id": int(aid), "kind": kind,
+                             "media": zlib.compress(b),
+                             "meta": {"codec": "zraw", "kind": kind,
+                                      "n_samples": str(len(b))}})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(fn, ASSET_SCHEMA)
+
+
+def decode_payloads(df: DataFrame) -> DataFrame:
+    """[asset_id, kind, n_samples, payload] — the REAL decode path
+    surfaced as raw sample bytes (no pooling): zlib-decompress and
+    validate against the typed metadata; raises on corrupt payloads or
+    a non-real codec. ``n_samples`` is the DECODED length, so a
+    mismatch against source-derived expectations is visible to SQL."""
+    out_schema = StructType([
+        StructField("asset_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for aid, kind, media, meta in zip(pdf["asset_id"], pdf["kind"],
+                                              pdf["media"], pdf["meta"]):
+                raw = _zraw_raw(media, meta)
+                rows.append({"asset_id": aid, "kind": kind,
+                             "n_samples": len(raw),
+                             "payload": raw.tobytes()})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, out_schema)
+
+
 def _pool_features(arr: np.ndarray, out_dim: int) -> np.ndarray:
     """Mean-pool a raw sample array into a fixed-length feature vector."""
     arr = arr.astype(np.float32).ravel()
@@ -96,20 +152,32 @@ def _pool_features(arr: np.ndarray, out_dim: int) -> np.ndarray:
     return arr.reshape(-1, out_dim).mean(axis=0) / 255.0
 
 
-def _zraw_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
-    """REAL decode: zlib-decompress the payload, reconstruct the sample
-    array from the typed metadata (images validate height×width), then
-    extract pooled features. Raises on corrupt/mis-shaped payloads —
-    this path fails loudly, it does not fall back to a fake."""
+def _zraw_raw(media: bytes, meta: dict) -> np.ndarray:
+    """REAL decode core: zlib-decompress the payload and reconstruct
+    the sample array, validating against the typed metadata (images:
+    height×width; audio/video: n_samples when recorded). Raises on
+    corrupt/mis-shaped payloads and on non-real codecs — this path
+    fails loudly, it does not fall back to a fake."""
     import zlib
+    if meta.get("codec", "zraw") != "zraw":
+        raise ValueError(f"decode_payloads handles real 'zraw' assets only,"
+                         f" got codec {meta.get('codec')!r}")
     raw = np.frombuffer(zlib.decompress(bytes(media)), dtype=np.uint8)
     if meta.get("kind") == "image":
         h, w = int(meta["height"]), int(meta["width"])
         if len(raw) != h * w:
             raise ValueError(
                 f"image payload has {len(raw)} pixels, meta says {h}x{w}")
-        raw = raw.reshape(h, w)
-    return _pool_features(raw, out_dim)
+        return raw.reshape(h, w)
+    if "n_samples" in meta and len(raw) != int(meta["n_samples"]):
+        raise ValueError(f"payload has {len(raw)} samples, meta says"
+                         f" {meta['n_samples']}")
+    return raw
+
+
+def _zraw_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
+    """REAL decode → pooled features (see :func:`_zraw_raw`)."""
+    return _pool_features(_zraw_raw(media, meta), out_dim)
 
 
 def _fake_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:

@@ -238,6 +238,33 @@ class TestMultimodal:
         assert len(fr) == 10 * (256 // 32 // 2)  # 10 videos × 4 sampled frames
         assert all(len(r["frame"]) == 32 for r in fr)
 
+    def test_zraw_tiny_payload_decodes(self, spark):
+        """payload_bytes < 16 used to record image meta 1×16 over a
+        shorter payload and fail the shape validation on legitimately
+        generated assets."""
+        for pb in (1, 3, 15):
+            assets = multimodal.make_assets(spark, 6, codec="zraw",
+                                            payload_bytes=pb)
+            rows = multimodal.decode_features(assets, out_dim=4).collect()
+            assert len(rows) == 6
+
+    def test_text_assets_roundtrip_and_validation(self, spark):
+        """text → zraw asset → decode_payloads reproduces the source
+        bytes; corrupt n_samples metadata fails loudly."""
+        rows = [(1, "hello multimodal world"), (2, "größere zeichen ÄÖÜ"),
+                (3, "")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        assets = multimodal.text_assets(df, "text", "doc_id")
+        got = {r["asset_id"]: bytes(r["payload"]) for r in
+               multimodal.decode_payloads(assets).collect()}
+        for i, t in rows:
+            assert got[i] == t.encode("utf-8")
+        bad = assets.withColumn(
+            "meta", F.create_map(F.lit("codec"), F.lit("zraw"),
+                                 F.lit("n_samples"), F.lit("9999")))
+        with pytest.raises(Exception):
+            multimodal.decode_payloads(bad).collect()
+
     def test_zraw_real_decode_roundtrip(self, spark):
         """zraw is a REAL decode: payloads are zlib-compressed sample
         arrays, and the pipeline's features must equal pooling the
