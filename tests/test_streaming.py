@@ -92,6 +92,60 @@ def test_replayed_batch_is_not_double_counted(spark):
         assert second.all_sum == 2 * sketch_from_bytes(first).all_sum
 
 
+def test_incremental_commit_touches_only_affected_buckets(spark):
+    """Steady-state write amplification is O(touched buckets), not
+    O(total state): a 1-key micro-batch into a 1,200-key state rewrites
+    exactly ONE bucket dir; the other 31 buckets are carried forward by
+    manifest reference (no data rewritten), and the merged state still
+    equals the batch build bytewise."""
+    import json
+    import os
+    with tempfile.TemporaryDirectory() as tmp:
+        state = f"{tmp}/state"
+        big = spark.range(1200).select(F.col("id").cast("string").alias("k"),
+                                       F.col("id").alias("v"))
+        sink = incremental_sketch_sink("hll", "v", state, key_col="k",
+                                       m=64, n_state_buckets=32)
+        sink(big, 0)
+        sink(spark.createDataFrame([("42", 7)], "k string, v long"), 1)
+        kb_dirs = [d for d in os.listdir(f"{state}/v=2")
+                   if d.startswith("kb=")]
+        assert len(kb_dirs) == 1
+        with open(f"{state}/_LATEST") as f:
+            ptr = json.load(f)
+        v1_refs = [rel for rel in ptr["buckets"].values()
+                   if rel.startswith("v=1/")]
+        assert len(v1_refs) == 31  # untouched buckets not rewritten
+        assert os.path.isdir(f"{state}/v=1")  # still referenced → kept
+        got = {r["k"]: bytes(r["state"])
+               for r in load_sketch_state(spark, state).collect()}
+        both = big.unionByName(spark.createDataFrame([("42", 7)],
+                                                     "k string, v long"))
+        want = {r["k"]: bytes(r["state"])
+                for r in sketch_agg(both, "hll", "v", key_col="k",
+                                    m=64).collect()}
+        assert got == want
+
+
+def test_fresh_checkpoint_over_kept_state_fails_loudly(spark):
+    """A restarted stream with a NEW checkpoint dir restarts batch ids
+    at 0; silently treating that as a replay would drop real data —
+    the sink must refuse instead (ADVICE round-2)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        state = f"{tmp}/state"
+        batch = spark.createDataFrame([("a",)], "item string")
+        sink1 = incremental_sketch_sink("hll", "item", state,
+                                        element="string", m=64,
+                                        replay_scope="ckpt-A")
+        sink1(batch, 0)
+        sink1(batch, 0)  # same scope → silent replay skip
+        sink2 = incremental_sketch_sink("hll", "item", state,
+                                        element="string", m=64,
+                                        replay_scope="ckpt-B")
+        with pytest.raises(ValueError, match="fresh streaming checkpoint"):
+            sink2(batch, 0)
+
+
 def test_commit_is_versioned_and_pruned(spark):
     """Each commit lands in a NEW v=<n> dir with an atomic pointer flip
     (crash mid-write can't corrupt the readable state); old versions
