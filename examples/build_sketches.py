@@ -78,6 +78,11 @@ def main() -> None:
     df = read_table(spark, args.input)
     params = _parse_params(args.params)
 
+    if args.kind == "cuckoo" and args.checkpoint:
+        # the cuckoo build is not checkpoint-resumable (order-dependent
+        # kick loop — no mergeable partials to checkpoint); failing here
+        # beats silently handing back a non-resumable 100 TB build
+        ap.error("--checkpoint is not supported with --kind cuckoo")
     if args.kind == "cuckoo":
         states = cuckoo_build(df, args.value_col, key_col=args.key_col,
                               element=args.element, n_shards=args.n_shards,

@@ -812,7 +812,8 @@ def cuckoo_shard_size(n_rows: int, n_shards: int, bucket_size: int = 4) -> int:
 
 def cuckoo_build(df: DataFrame, value_col: str, *,
                  key_col: str | None = None, element: str | None = None,
-                 size: int | None = None, bucket_size: int = 4,
+                 size: int | None = None, n: int | None = None,
+                 bucket_size: int = 4,
                  fp_len: int | None = None, retries: int = 500,
                  eps: float = 0.001, n_shards: int = 1,
                  seed: int = 42) -> DataFrame:
@@ -830,8 +831,10 @@ def cuckoo_build(df: DataFrame, value_col: str, *,
     shard emits a row even when empty (zero-element shards are states,
     not absent rows).
 
-    ``size`` is the per-shard bucket count when given; when omitted it
-    is derived from ``df.count()`` split across shards at 0.955 load
+    ``size`` is the per-shard bucket count when given; else it is
+    derived from the expected element count ``n`` (pass it when known —
+    skips a full scan) or, as a last resort, from an auto ``df.count()``
+    scan, split across shards at 0.955 load
     (``base_cuckoo_filter.go`` capacity policy).
 
     Returns ``DataFrame[key?, shard int, state binary, n_items]``.
@@ -839,7 +842,8 @@ def cuckoo_build(df: DataFrame, value_col: str, *,
     element = infer_element(df, value_col, element)
     if size is None:
         size = params.next_power_of_two(
-            cuckoo_shard_size(df.count(), n_shards, bucket_size))
+            cuckoo_shard_size(n if n is not None else df.count(),
+                              n_shards, bucket_size))
     else:
         size = params.next_power_of_two(size)
     if fp_len is None:

@@ -201,7 +201,18 @@ class CuckooFilter:
         index order — exactly what r sequential scalar removes do
         (each clears the lowest-index remaining match); duplicates that
         exhaust i1's matches fall through to the i2 round, as the
-        scalar path would after i1 empties."""
+        scalar path would after i1 empties.
+
+        Caveat (cross-element fingerprint collisions): when two
+        DISTINCT batch elements share a fingerprint and one element's
+        i1 bucket aliases the other's i2, the round-synchronized
+        i1-then-i2 order can remove fewer stored copies than strictly
+        sequential scalar removes would (a copy survives and the
+        removed-mask differs). The divergence is benign for filter
+        semantics — no false negatives are introduced and the state
+        stays valid — and is only reachable with short ``fp_len``;
+        exact scalar-sequence equivalence holds when batch elements'
+        fingerprints are distinct (the overwhelmingly common case)."""
         fp, i1, i2 = fingerprints_and_indices(h1, self.fp_len, self.size)
         removed = np.zeros(len(h1), dtype=bool)
         pending = np.arange(len(h1))

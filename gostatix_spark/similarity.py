@@ -25,7 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
-__all__ = ["brute_force_topk", "lsh_topk", "cosine_col", "hyperplane_signature"]
+__all__ = ["brute_force_topk", "lsh_topk", "cosine_col",
+           "hyperplane_signature", "build_lsh_index", "lsh_topk_indexed"]
 
 
 def cosine_col(a, b):
@@ -90,6 +91,67 @@ def hyperplane_signature(df: DataFrame, vec_col: str, dim: int | None = None,
         return pd.Series(vals)
 
     return df.withColumn(out_col, sig(F.col(vec_col)))
+
+
+def build_lsh_index(emb: DataFrame, path: str, *,
+                    dim: int | None = None, n_bits: int = 12,
+                    prefix_bits: int = 6, seed: int = 9,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist the signature table PARTITIONED BY BUCKET so repeated
+    query batches amortize the signature scan: ``lsh_topk`` recomputes
+    every row's signature per call; the index computes it once, and
+    :func:`lsh_topk_indexed` reads only the probed buckets (static
+    partition pruning on the ``bkt`` directory column).
+
+    Layout: ``path/bkt=<b>/part-*.parquet`` with columns
+    ``[id, vec, lsh_sig]`` plus a ``_lsh_index.json`` sidecar recording
+    (n_bits, prefix_bits, seed, columns) so queries can't accidentally
+    probe with mismatched hyperplanes. On an object store, keep the
+    sidecar in the table's metadata/properties instead."""
+    import json
+    import os
+    shift = n_bits - prefix_bits
+    e = hyperplane_signature(emb, vec_col, dim, n_bits, seed) \
+        .withColumn("bkt", F.shiftrightunsigned("lsh_sig", shift).cast("int"))
+    (e.select(id_col, vec_col, "lsh_sig", "bkt")
+     .write.mode("overwrite").partitionBy("bkt").parquet(path))
+    with open(os.path.join(path, "_lsh_index.json"), "w") as f:
+        json.dump({"n_bits": n_bits, "prefix_bits": prefix_bits,
+                   "seed": seed, "id_col": id_col, "vec_col": vec_col}, f)
+
+
+def lsh_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10, *,
+                     q_id_col: str = "q_id",
+                     q_vec_col: str = "q_vec") -> DataFrame:
+    """Approximate top-k against a persisted :func:`build_lsh_index`.
+    The query batch's buckets are computed first (tiny job over the
+    queries only), then the index scan carries a static
+    ``bkt IN (...)`` partition filter — Catalyst prunes every other
+    bucket directory before listing files, so the scan cost is
+    O(probed buckets), not O(index). Results are identical to
+    :func:`lsh_topk` with the same parameters (same seed ⇒ same
+    hyperplanes ⇒ same buckets ⇒ same exact re-rank)."""
+    import json
+    import os
+    with open(os.path.join(path, "_lsh_index.json")) as f:
+        p = json.load(f)
+    shift = p["n_bits"] - p["prefix_bits"]
+    q = hyperplane_signature(queries, q_vec_col, None, p["n_bits"],
+                             p["seed"]) \
+        .withColumn("bkt", F.shiftrightunsigned("lsh_sig", shift).cast("int"))
+    q = q.select(q_id_col, q_vec_col, "bkt")
+    probed = [r["bkt"] for r in q.select("bkt").distinct().collect()]
+    emb = spark.read.parquet(path).where(F.col("bkt").isin(probed))
+    cands = emb.join(F.broadcast(q), "bkt")
+    scored = cands.select(
+        F.col(q_id_col), F.col(p["id_col"]),
+        cosine_col(F.col(p["vec_col"]), F.col(q_vec_col)).alias("cosine"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"),
+                                             F.asc(p["id_col"]))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id_col, "rank", p["id_col"], "cosine"))
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, *,

@@ -180,6 +180,34 @@ class TestSimilarity:
         # the query itself always lands in its own bucket
         assert all((q, q) in ap for q, _ in ex if (q, q) in ex)
 
+    def test_persisted_index_equals_on_the_fly(self, spark, emb):
+        """build_lsh_index + lsh_topk_indexed must return exactly what
+        lsh_topk computes on the fly (same seed → same hyperplanes),
+        and the index scan must be partition-pruned to the probed
+        buckets."""
+        import tempfile
+        dim = len(emb.first()["embedding"])
+        queries = (emb.limit(4)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        with tempfile.TemporaryDirectory() as tmp:
+            path = f"{tmp}/lsh_index"
+            similarity.build_lsh_index(emb, path, dim=dim,
+                                       n_bits=8, prefix_bits=3)
+            got = similarity.lsh_topk_indexed(spark, path, queries, k=5)
+            fly = similarity.lsh_topk(emb, queries, k=5, dim=dim,
+                                      n_bits=8, prefix_bits=3)
+            g = {(r["q_id"], r["rank"], r["vec_id"]) for r in got.collect()}
+            f = {(r["q_id"], r["rank"], r["vec_id"]) for r in fly.collect()}
+            assert g == f and len(g) > 0
+            # partition pruning: the index scan carries a static
+            # bkt IN (...) partition filter (inputFiles() can't show
+            # this — it lists pre-filter — so assert on the plan)
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            scan = next(ln for ln in plan.splitlines()
+                        if "FileScan" in ln and "PartitionFilters: [bkt" in ln)
+            assert " IN (" in scan
+
 
 class TestTextStats:
     def test_token_stats_consistent(self, spark, docs):
