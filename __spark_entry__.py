@@ -389,7 +389,9 @@ def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     that fabricates or truncates a single byte hash-mismatches."""
     from gostatix_spark import multimodal
     docs = _read(spark, sf_dir, "documents").repartition(32)
-    assets = multimodal.text_assets(docs, "text", "doc_id")
+    # assets feed two decode consumers — persist so the encode UDF runs
+    # once, not once per downstream branch
+    assets = multimodal.text_assets(docs, "text", "doc_id").persist()
     decoded = multimodal.decode_payloads(assets)
     feats = multimodal.decode_features(assets, out_dim=8)
     return (decoded.join(feats.select("asset_id",

@@ -96,7 +96,7 @@ def _sketch_build_job(spark, corpus, n_docs: int) -> dict:
 
 
 def _scaling_rep_subprocess(cores: int, corpus_path: str, input_bytes: int,
-                            n_docs: int) -> list[float]:
+                            n_docs: int, max_passes: int = 3) -> list[float]:
     """One measurement session in a FRESH subprocess with an N-core JVM.
 
     ``local[N]`` only caps *task slots* — the JVM's GC/JIT/netty
@@ -135,7 +135,7 @@ def _scaling_rep_subprocess(cores: int, corpus_path: str, input_bytes: int,
         "corpus.count()\n"
         "_sketch_build_job(spark, corpus.limit(20000), 20000)\n"
         "walls = []\n"
-        "for i in range(3):\n"
+        f"for i in range({max_passes}):\n"
         "    walls.append(_sketch_build_job(spark, corpus, n_docs)"
         "['wall_sec'])\n"
         "    if i >= 1 and min(walls[:-1]) <= walls[-1] * 1.05:\n"
@@ -148,7 +148,7 @@ def _scaling_rep_subprocess(cores: int, corpus_path: str, input_bytes: int,
     proc = subprocess.run(
         [sys.executable, "-c", runner, str(cores), corpus_path,
          str(input_bytes), str(n_docs), os.path.abspath(__file__)],
-        capture_output=True, text=True, timeout=1800, env=env)
+        capture_output=True, text=True, timeout=2400, env=env)
     for line in proc.stdout.splitlines():
         if line.startswith("SCALING_REP_RESULT "):
             return [float(x) for x in _json.loads(line.split(" ", 1)[1])]
@@ -225,7 +225,7 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
         budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC",
                                       "1300"))
         min_pairs = max(2, reps)
-        max_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_PAIRS", "5"))
+        max_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_PAIRS", "6"))
         lo_, hi_ = pair
 
         def gap(cs: int) -> float:
@@ -256,6 +256,7 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
         t_sched = time.perf_counter()
         pairs_done = 0
         over_budget = False
+        out["converged"] = False
         while pairs_done < max_pairs and not over_budget:
             wait_for_quiet()
             for cores in pair:
@@ -266,8 +267,12 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                         time.perf_counter() - t_sched > budget:
                     over_budget = True
                     break
-                passes = _scaling_rep_subprocess(cores, corpus_path,
-                                                 input_bytes, n_docs)
+                # the hi level's passes are ~(hi/lo)× cheaper, so buy
+                # extra in-session samples there (its min has the
+                # higher variance; see BENCH/BASELINE.md)
+                passes = _scaling_rep_subprocess(
+                    cores, corpus_path, input_bytes, n_docs,
+                    max_passes=3 if cores == lo_ else 5)
                 w = min(passes)
                 walls[cores].append(w)
                 raw_walls[cores].append([round(x, 1) for x in passes])
@@ -288,6 +293,7 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                          and gap(lo_) <= 0.03 and gap(hi_) <= 0.03
                          and eff_now <= 1.02)
             if converged or elapsed > budget:
+                out["converged"] = bool(converged)
                 print(f"#   scaling stop after {pairs_done} session pairs "
                       f"({'converged' if converged else 'budget'}, "
                       f"{elapsed:.0f}s)", flush=True)
@@ -322,8 +328,13 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
     per_rep_eff = [round((lo_w / hi_w) / (hi / lo), 3)
                    for lo_w, hi_w in zip(walls[lo], walls[hi])]
     out["per_rep_efficiency"] = per_rep_eff
+    # accepted set: efficiency > 1 is physically impossible here, so
+    # such a pair PROVES its lo wall was interference-inflated — it is
+    # excluded from the pairwise statistics (and visibly reported)
+    accepted = [e for e in per_rep_eff if e <= 1.0]
+    out["per_rep_efficiency_accepted"] = accepted
     out["scaling_efficiency_median_pairs"] = round(
-        statistics.median(per_rep_eff), 3)
+        statistics.median(accepted or per_rep_eff), 3)
     eff_raw = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
     out["scaling_efficiency_raw"] = round(eff_raw, 3)
     if eff_raw > 1.0:
@@ -351,7 +362,11 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "165000"))
+        # 100k training-sequence docs (~145M tokens): sized so a (1,4)
+        # session pair costs ~4 min — the 1300s budget then buys the
+        # ≥2 clean pairs the convergence criterion needs (round-2's
+        # 165k corpus ran out of budget mid-pair before converging)
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
         parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "128"))
         result["scaling"] = _run_scaling(n_docs, parts)
 
