@@ -379,6 +379,36 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.size("fingerprints").alias("n_fingerprints")))
 
 
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the fifth dedup family), exact
+    method over a bounded id range so the self-join stays square-root
+    scale — deterministic and fully SQL-expressible, so DuckDB's
+    list_cosine_similarity is a hard oracle. Ids only in the output
+    (float cosine stays engine-internal to keep the value-hash stable).
+    Threshold 0.35 sits in the synthetic embeddings' real upper tail
+    (max pairwise cosine ≈ 0.48) so the oracle checks ~300 genuine
+    pairs rather than a vacuous empty set."""
+    emb = (_read(spark, sf_dir, "embeddings").where("vec_id < 1200")
+           .repartition(32))
+    return (dedup.embedding_dedup_pairs(emb, "vec_id", "embedding",
+                                        threshold=0.35, method="exact")
+            .select("id_a", "id_b"))
+
+
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for the same operator: hyperplane-signature chunk
+    candidates → exact cosine verify (recall < 1 by design → rows-only;
+    precision exactness and planted-dup recall are pytest-gated).
+    8-bit chunks: recall grows steeply with similarity (≈0.94 at
+    cosine 0.9, where near-dup detection actually operates; true
+    duplicates are never missed — identical signatures)."""
+    emb = _read(spark, sf_dir, "embeddings").repartition(32)
+    return (dedup.embedding_dedup_pairs(emb, "vec_id", "embedding",
+                                        threshold=0.35, method="lsh",
+                                        n_bits=64, n_chunks=8)
+            .select("id_a", "id_b"))
+
+
 def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary columns under the hard gate: every document's
     text is encoded into a zlib 'zraw' asset payload (the REAL codec,
@@ -455,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_hll_gate": q_windowed_hll,
         "winnowing": q_winnowing,
         "multimodal_roundtrip": q_multimodal_roundtrip,
+        "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
     }
@@ -602,6 +634,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text AS decoded_text,"
             " octet_length(CAST(text AS BLOB)) AS n_samples,"
             " 8 AS feat_dim FROM documents"),
+        "embedding_dedup": ("""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 1200)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        """),
         "ann_bruteforce": ("""
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
                        FROM embeddings WHERE vec_id < 3),

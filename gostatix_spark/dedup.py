@@ -33,7 +33,7 @@ from gostatix_spark import hashing
 
 __all__ = ["exact_dedup", "minhash_signatures", "lsh_candidate_pairs",
            "minhash_dedup_pairs", "simhash", "simhash_near_pairs",
-           "ngram_jaccard_pairs"]
+           "ngram_jaccard_pairs", "embedding_dedup_pairs"]
 
 _MERSENNE = (1 << 61) - 1
 _P61 = np.uint64(_MERSENNE)
@@ -428,3 +428,72 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         / (F.col("na") + F.col("nb") - F.col("common")))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def embedding_dedup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding", *,
+                          threshold: float = 0.9, method: str = "lsh",
+                          n_bits: int = 64, n_chunks: int = 8,
+                          seed: int = 9,
+                          max_bucket_size: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``[id_a, id_b, cosine]``
+    with cosine ≥ threshold — the fifth dedup family (exact, MinHash,
+    SimHash, n-gram Jaccard, embedding-cosine).
+
+    ``method='exact'``: full (a.id < b.id) self-join with the JVM
+    cosine expression — quadratic; the verification/oracle path and
+    fine for bounded id ranges.
+
+    ``method='lsh'`` (the 100 TB path): random-hyperplane signature
+    (one matmul per Arrow batch, :func:`similarity.hyperplane_signature`)
+    → candidate pairs from ``n_chunks`` chunk equi-joins (the SimHash
+    pigeonhole machinery — complete for signature hamming ≤ n_chunks−1,
+    which at threshold t covers expected hamming n_bits·arccos(t)/π;
+    ``max_bucket_size`` bounds hot buckets) → EXACT cosine re-check on
+    candidates only. Precision is exact by construction; recall < 1
+    with the standard LSH trade."""
+    from gostatix_spark import similarity
+
+    va = F.col("_va").cast("array<double>")
+    vb = F.col("_vb").cast("array<double>")
+    if method == "exact":
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        return (a.join(b, F.col("id_a") < F.col("id_b"))
+                .withColumn("cosine", similarity.cosine_col(va, vb))
+                .where(F.col("cosine") >= threshold)
+                .select("id_a", "id_b", "cosine"))
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r} (exact | lsh)")
+    # band-style single join (the minhash LSH shape, ONE shuffle of
+    # (id, band, value) rows) rather than n_chunks separate self-joins:
+    # a pair matching on any chunk is a candidate — pigeonhole-complete
+    # for signature hamming ≤ n_chunks−1
+    sigs = (similarity.hyperplane_signature(emb, vec_col, None, n_bits, seed)
+            .select(F.col(id_col).alias("id"), "lsh_sig"))
+    width = max(1, n_bits // n_chunks)
+    mask = (1 << width) - 1
+    chunk_vals = F.array(*[
+        F.shiftrightunsigned("lsh_sig", i * width).bitwiseAND(F.lit(mask))
+        for i in range(n_chunks)])
+    banded = sigs.select("id", F.posexplode(chunk_vals).alias("band", "val"))
+    if max_bucket_size:
+        hot = (banded.groupBy("band", "val").count()
+               .where(F.col("count") > max_bucket_size)
+               .select("band", "val"))
+        banded = banded.join(F.broadcast(hot), ["band", "val"], "left_anti")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                        F.col("a.val") == F.col("b.val"),
+                        F.col("a.id") < F.col("b.id")])
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    va_side = emb.select(F.col(id_col).alias("id_a"),
+                         F.col(vec_col).alias("_va"))
+    vb_side = emb.select(F.col(id_col).alias("id_b"),
+                         F.col(vec_col).alias("_vb"))
+    return (cands.join(va_side, "id_a").join(vb_side, "id_b")
+            .withColumn("cosine", similarity.cosine_col(va, vb))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

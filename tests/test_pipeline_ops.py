@@ -119,6 +119,46 @@ class TestSimHash:
         assert (100, 101) in full and (1, 2) in full
 
 
+class TestEmbeddingDedup:
+    def test_exact_matches_numpy(self, spark, emb):
+        sub = emb.where("vec_id < 60")
+        got = {(r["id_a"], r["id_b"]) for r in
+               dedup.embedding_dedup_pairs(sub, "vec_id", "embedding",
+                                           threshold=0.8,
+                                           method="exact").collect()}
+        rows = sub.collect()
+        ids = [r["vec_id"] for r in rows]
+        mat = np.stack([np.array(r["embedding"], dtype=np.float64)
+                        for r in rows])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = mat @ mat.T
+        want = {(min(ids[i], ids[j]), max(ids[i], ids[j]))
+                for i in range(len(ids)) for j in range(i + 1, len(ids))
+                if cos[i, j] >= 0.8}
+        assert got == want
+
+    def test_lsh_finds_planted_duplicates(self, spark, emb):
+        """Planted exact duplicates have cosine 1 → identical
+        hyperplane signatures → every chunk matches → the LSH path can
+        never miss them; precision is exact by construction."""
+        base = emb.limit(25).select("vec_id", "embedding")
+        dupes = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                            "embedding")
+        planted = base.unionByName(dupes)
+        pairs = dedup.embedding_dedup_pairs(planted, "vec_id", "embedding",
+                                            threshold=0.999, method="lsh")
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        want = {(r["vec_id"], r["vec_id"] + 1_000_000)
+                for r in base.collect()}
+        assert want <= got
+        # precision: every emitted pair genuinely has cosine >= threshold
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 dedup.embedding_dedup_pairs(planted, "vec_id", "embedding",
+                                             threshold=0.999,
+                                             method="exact").collect()}
+        assert got <= exact
+
+
 class TestNgramJaccard:
     def test_matches_python_reference(self, spark):
         rows = [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")]
