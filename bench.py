@@ -222,10 +222,14 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
         # per-level min only moves DOWN toward true capability, so
         # extra sessions refine the estimate and cannot inflate it),
         # budget, or session cap.
+        # sized for ~6-8 pairs at the 100k corpus: the lo level's min
+        # converges from above as sessions land in quiet windows (its
+        # walls only descend under additive noise), so extra pairs buy
+        # convergence, never inflation
         budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC",
-                                      "1300"))
+                                      "1800"))
         min_pairs = max(2, reps)
-        max_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_PAIRS", "6"))
+        max_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_PAIRS", "8"))
         lo_, hi_ = pair
 
         def gap(cs: int) -> float:
