@@ -366,11 +366,16 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        # 100k training-sequence docs (~145M tokens): sized so a (1,4)
-        # session pair costs ~4 min — the 1300s budget then buys the
-        # ≥2 clean pairs the convergence criterion needs (round-2's
-        # 165k corpus ran out of budget mid-pair before converging)
-        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+        # 165k training-sequence docs (~238M tokens). A 100k corpus was
+        # tried (cheaper pairs → more samples per budget) and REJECTED:
+        # at that size the (1,4) pair is structurally superlinear
+        # (c1 floor 60.0s vs c4 floor 14.3s across 7 sessions ⇒ raw
+        # eff ≈ 1.05 — fixed per-pass costs and single-thread GC wall
+        # weigh on the 1-core level relatively more as the job shrinks),
+        # which the eff ≤ 1.02 convergence guard rightly never accepts.
+        # At 165k the per-core rates balance (round-2: 0.947, converged
+        # in 2 pairs); the 1800s budget buys 4-5 pairs at this size.
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "165000"))
         parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "128"))
         result["scaling"] = _run_scaling(n_docs, parts)
 

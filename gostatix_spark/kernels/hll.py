@@ -29,6 +29,12 @@ def new_state(m: int) -> np.ndarray:
     return np.zeros(m, dtype=np.uint8)
 
 
+def reset(registers: np.ndarray) -> None:
+    """H5 Reset (``hyperloglog.go`` Reset): zero every register in
+    place — a reset sketch is indistinguishable from a fresh one."""
+    registers.fill(0)
+
+
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     """Vectorized bit_length for uint64 (exact, no float round-trip)."""
     x = x.copy()

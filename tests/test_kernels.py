@@ -166,6 +166,20 @@ class TestHLL:
         with pytest.raises(ValueError):
             hll.new_state(100)
 
+    def test_reset_equals_fresh(self):
+        """H5: a reset sketch is bytewise a fresh one — updating both
+        afterwards keeps them identical (no residual state)."""
+        regs = hll.new_state(64)
+        h1, _ = _metro(["a", "b", "c"])
+        hll.update_batch(regs, h1)
+        assert regs.any()
+        hll.reset(regs)
+        fresh = hll.new_state(64)
+        assert np.array_equal(regs, fresh)
+        hll.update_batch(regs, h1)
+        hll.update_batch(fresh, h1)
+        assert np.array_equal(regs, fresh)
+
     def test_merge_is_registerwise_max(self):
         a, b = hll.new_state(16), hll.new_state(16)
         h1, _ = _metro(["foo", "bar"])
