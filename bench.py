@@ -342,10 +342,20 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
     eff_raw = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
     out["scaling_efficiency_raw"] = round(eff_raw, 3)
     if eff_raw > 1.0:
-        # impossible → the lo min never escaped an interference window;
-        # report the clamp, flag it, leave every wall visible
+        # impossible → the lo min never escaped an interference window
+        # (its ~2-min exposure needs a quiet stretch the hi level's
+        # ~30s exposure doesn't). Headline falls back to the median of
+        # the ACCEPTED same-window pairs: adjacent sessions share their
+        # noise, and shared additive noise inflates the SHORT hi wall
+        # relatively more, so an accepted per-pair ratio is a
+        # CONSERVATIVE LOWER BOUND on the true efficiency — the honest
+        # bad-day statistic (a 1.0 clamp would overstate instead).
         out["lo_walls_inflated"] = True
-        eff_raw = 1.0
+        eff_raw = (statistics.median(accepted) if accepted else 1.0)
+        out["headline_statistic"] = "median of accepted same-window pairs" \
+            if accepted else "clamped (no accepted pair)"
+    else:
+        out["headline_statistic"] = "capability-min ratio"
     out[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff_raw, 3)
     return out
 
