@@ -457,10 +457,17 @@ def embedding_dedup_pairs(emb: DataFrame, id_col: str = "vec_id",
     va = F.col("_va").cast("array<double>")
     vb = F.col("_vb").cast("array<double>")
     if method == "exact":
-        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        # normalize each side ONCE (O(n) rows) so the quadratic pair
+        # expression is a single zip_with/aggregate dot product instead
+        # of three (dot + both norms recomputed per pair) — 3× less
+        # higher-order-function work in the O(n²) hot path
+        unit = similarity.unit_vector_col(F.col(vec_col))
+        a = emb.select(F.col(id_col).alias("id_a"), unit.alias("_va"))
+        b = emb.select(F.col(id_col).alias("id_b"), unit.alias("_vb"))
+        dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
         return (a.join(b, F.col("id_a") < F.col("id_b"))
-                .withColumn("cosine", similarity.cosine_col(va, vb))
+                .withColumn("cosine", dot)
                 .where(F.col("cosine") >= threshold)
                 .select("id_a", "id_b", "cosine"))
     if method != "lsh":
@@ -489,11 +496,12 @@ def embedding_dedup_pairs(emb: DataFrame, id_col: str = "vec_id",
              .select(F.col("a.id").alias("id_a"),
                      F.col("b.id").alias("id_b"))
              .distinct())
-    va_side = emb.select(F.col(id_col).alias("id_a"),
-                         F.col(vec_col).alias("_va"))
-    vb_side = emb.select(F.col(id_col).alias("id_b"),
-                         F.col(vec_col).alias("_vb"))
+    unit = similarity.unit_vector_col(F.col(vec_col))
+    va_side = emb.select(F.col(id_col).alias("id_a"), unit.alias("_va"))
+    vb_side = emb.select(F.col(id_col).alias("id_b"), unit.alias("_vb"))
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
     return (cands.join(va_side, "id_a").join(vb_side, "id_b")
-            .withColumn("cosine", similarity.cosine_col(va, vb))
+            .withColumn("cosine", dot)
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

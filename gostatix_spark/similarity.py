@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
-__all__ = ["brute_force_topk", "lsh_topk", "cosine_col",
+__all__ = ["brute_force_topk", "lsh_topk", "cosine_col", "unit_vector_col",
            "hyperplane_signature", "build_lsh_index", "lsh_topk_indexed"]
 
 
@@ -37,6 +37,16 @@ def cosine_col(a, b):
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
     return dot / (na * nb)
+
+
+def unit_vector_col(a):
+    """L2-normalized copy of an array<float> column (array<double>).
+    Normalizing each side of a similarity join ONCE turns the per-pair
+    cosine into a bare dot product — the cheap way to run an O(n²) or
+    candidate-verify stage without recomputing norms per pair."""
+    ad = a.cast("array<double>")
+    norm = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.transform(ad, lambda x: x / norm)
 
 
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
