@@ -20,7 +20,7 @@ from collections.abc import Callable
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gostatix_spark import dedup, params, similarity, textstats
+from gostatix_spark import dedup, params, sampling, similarity, textstats
 from gostatix_spark.agg import (bloom_build_sharded, cuckoo_apply_removals,
                                 cuckoo_build, sketch_agg)
 from gostatix_spark.query import (bloom_contains, bloom_contains_sharded,
@@ -379,6 +379,46 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.size("fingerprints").alias("n_fingerprints")))
 
 
+SPLITS = {"train": 0.98, "val": 0.01, "test": 0.01}
+MIX_FRACTIONS = {"src1": 0.8, "src2": 0.5, "src3": 0.25}
+MIX_DEFAULT = 0.1
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment for every document —
+    md5-hash-space partition (sampling.assign_split): disjoint,
+    exhaustive, reproducible on any cluster size, zero shuffle. The
+    DuckDB oracle recomputes the same md5 thresholds, so assignment is
+    checked row-for-row."""
+    docs = _read(spark, sf_dir, "documents")
+    return (sampling.assign_split(docs, "doc_id", SPLITS)
+            .select("doc_id", "split"))
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mix sampling: per-source keep fractions
+    (sampling.stratified_sample — the deterministic sampleBy) with a
+    default rate for unlisted sources. Narrow CASE filter, no shuffle;
+    oracle recomputes the identical md5 draws."""
+    docs = _read(spark, sf_dir, "documents")
+    return (sampling.stratified_sample(docs, "doc_id", "source",
+                                       MIX_FRACTIONS, default=MIX_DEFAULT)
+            .select("doc_id", "source"))
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding in the at-scale shape: 16 hash-prefix
+    partitions, per-partition deterministic order + running-token
+    cumsum, shard boundary every 1000 tokens (sampling.token_shards).
+    The DuckDB oracle recomputes the identical windows, so shard
+    assignment is checked row-for-row."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.col("text"), " ")))
+    return (sampling.token_shards(docs, "doc_id", "n_tok", budget=1000,
+                                  part_hex_chars=1)
+            .select("doc_id", "part", "shard"))
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the fifth dedup family), exact
     method over a bounded id range so the self-join stays square-root
@@ -485,6 +525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_hll_gate": q_windowed_hll,
         "winnowing": q_winnowing,
         "multimodal_roundtrip": q_multimodal_roundtrip,
+        "split_assign": q_split_assign,
+        "mixture_sample": q_mixture_sample,
+        "token_shards": q_token_shards,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "ann_bruteforce": q_ann_bruteforce,
@@ -634,6 +677,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text AS decoded_text,"
             " octet_length(CAST(text AS BLOB)) AS n_samples,"
             " 8 AS feat_dim FROM documents"),
+        "split_assign": (
+            "SELECT doc_id, CASE"
+            " WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)"
+            f" < '{sampling.hex_threshold(SPLITS['train'])}' THEN 'train'"
+            " WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)"
+            f" < '{sampling.hex_threshold(SPLITS['train'] + SPLITS['val'])}'"
+            " THEN 'val'"
+            " ELSE 'test' END AS split"
+            " FROM documents"),
+        "token_shards": (
+            "WITH t AS (SELECT doc_id,"
+            " len(string_split(text, ' ')) AS n_tok,"
+            " md5(CAST(doc_id AS VARCHAR) || 'order') AS k"
+            " FROM documents)"
+            " SELECT doc_id, substr(k, 1, 1) AS part,"
+            " CAST(floor(COALESCE(SUM(n_tok) OVER ("
+            "   PARTITION BY substr(k, 1, 1) ORDER BY k"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            " / 1000) AS INT) AS shard"
+            " FROM t"),
+        "mixture_sample": (
+            "SELECT doc_id, source FROM documents WHERE "
+            + " OR ".join(
+                f"(source = '{s}' AND"
+                " substr(md5(CAST(doc_id AS VARCHAR) || 'strata'), 1, 8)"
+                f" < '{sampling.hex_threshold(f)}')"
+                for s, f in MIX_FRACTIONS.items())
+            + " OR (source NOT IN ("
+            + ", ".join(f"'{s}'" for s in MIX_FRACTIONS)
+            + ") AND substr(md5(CAST(doc_id AS VARCHAR) || 'strata'), 1, 8)"
+            f" < '{sampling.hex_threshold(MIX_DEFAULT)}')"),
         "embedding_dedup": ("""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings WHERE vec_id < 1200)

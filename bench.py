@@ -163,12 +163,14 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
 
     Protocol v2 (full rationale + probe data in BENCH/BASELINE.md):
     identical materialized input files and identical configs at both
-    levels (only cores and input-split packing differ); one persistent
-    ``-XX:ActiveProcessorCount=N`` worker subprocess per level, warmed
-    once, executing ALTERNATING measured passes (lo, hi, lo, hi, …) so
-    co-tenant load bursts hit both levels equally and nearly all budget
-    buys samples; stop on convergence (both levels' two best passes
-    within 3%) or budget. Statistic: per-level MIN — interference on
+    levels (only cores and input-split packing differ); fresh
+    ``-XX:ActiveProcessorCount=N`` subprocess sessions in ALTERNATING
+    same-window pairs (hi, lo, hi, lo, … — hi first so a budget stop
+    mid-pair loses the cheap sample) so co-tenant load bursts hit both
+    levels equally; stop on convergence (both levels' two best
+    sessions within 3%) or budget, then spend any leftover budget on
+    gap-filling sessions for the unconverged level (the per-level min
+    is unbiased without pairing). Statistic: per-level MIN — interference on
     this shared VM is strictly additive and bursts 2-3×, so the min is
     the unbiased estimator of unloaded capability (cf. timeit). Default
     pair (1, 4): the serial baseline repeats within ±4% while (2, 8)
@@ -261,28 +263,45 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
         pairs_done = 0
         over_budget = False
         out["converged"] = False
+        # observed wall cost of a full session per level (EMA) — used
+        # to not START a session the budget can't finish
+        sess_cost: dict[int, float] = {}
+
+        def run_session(cores: int, label: str) -> None:
+            t0 = time.perf_counter()
+            # the hi level's passes are ~(hi/lo)× cheaper, so buy
+            # extra in-session samples there (its min has the
+            # higher variance; see BENCH/BASELINE.md)
+            passes = _scaling_rep_subprocess(
+                cores, corpus_path, input_bytes, n_docs,
+                max_passes=3 if cores == lo_ else 5)
+            w = min(passes)
+            walls[cores].append(w)
+            raw_walls[cores].append([round(x, 1) for x in passes])
+            cost = time.perf_counter() - t0
+            sess_cost[cores] = (cost if cores not in sess_cost
+                                else 0.5 * sess_cost[cores] + 0.5 * cost)
+            print(f"#   scaling session {label} cores={cores}: "
+                  f"passes {passes} → {w:.1f}s "
+                  f"({n_tokens/w:.0f} tok/s)", flush=True)
+
+        def eff_now() -> float:
+            return (min(walls[lo_]) / min(walls[hi_])) / (hi_ / lo_)
+
         while pairs_done < max_pairs and not over_budget:
             wait_for_quiet()
-            for cores in pair:
-                # bound the worst case between sessions too — one
-                # noise-inflated session pair can otherwise overshoot
-                # the budget by ~10 minutes after the pair-level check
-                if pairs_done >= 1 and \
-                        time.perf_counter() - t_sched > budget:
+            # HI FIRST within each pair: the hi session costs ~(lo/hi)×
+            # less, so when the budget dies mid-pair we lose the cheap
+            # sample, never a ~5-minute lo session already paid for
+            # (the round-3 driver run spent its last 300 s on a lo
+            # session whose hi partner never ran)
+            for cores in (hi_, lo_):
+                elapsed = time.perf_counter() - t_sched
+                need = sess_cost.get(cores, 0.0)
+                if pairs_done >= 1 and elapsed + need > budget:
                     over_budget = True
                     break
-                # the hi level's passes are ~(hi/lo)× cheaper, so buy
-                # extra in-session samples there (its min has the
-                # higher variance; see BENCH/BASELINE.md)
-                passes = _scaling_rep_subprocess(
-                    cores, corpus_path, input_bytes, n_docs,
-                    max_passes=3 if cores == lo_ else 5)
-                w = min(passes)
-                walls[cores].append(w)
-                raw_walls[cores].append([round(x, 1) for x in passes])
-                print(f"#   scaling session {pairs_done + 1} cores={cores}: "
-                      f"passes {passes} → {w:.1f}s "
-                      f"({n_tokens/w:.0f} tok/s)", flush=True)
+                run_session(cores, str(pairs_done + 1))
             if over_budget:
                 print(f"#   scaling stop mid-pair (budget)", flush=True)
                 break
@@ -292,16 +311,38 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
             # so a superlinear min-ratio PROVES the lo-level walls are
             # inflated (interference from neighbor VMs is invisible to
             # our loadavg) — such a state must never count as converged
-            eff_now = (min(walls[lo_]) / min(walls[hi_])) / (hi_ / lo_)
             converged = (pairs_done >= min_pairs
                          and gap(lo_) <= 0.03 and gap(hi_) <= 0.03
-                         and eff_now <= 1.02)
+                         and eff_now() <= 1.02)
             if converged or elapsed > budget:
                 out["converged"] = bool(converged)
                 print(f"#   scaling stop after {pairs_done} session pairs "
                       f"({'converged' if converged else 'budget'}, "
                       f"{elapsed:.0f}s)", flush=True)
                 break
+        # GAP-FILLING: the per-level MIN doesn't require paired
+        # sessions (pairing only serves the same-window fallback), so
+        # leftover budget buys extra sessions for whichever level still
+        # fails its 3% two-best gap — usually the hi level, whose short
+        # exposure needs luck to land in a quiet window. Allow a small
+        # overshoot (10%) since these sessions are the cheap ones.
+        if not out["converged"] and pairs_done >= min_pairs:
+            for _ in range(4):
+                stale = [c for c in (hi_, lo_) if gap(c) > 0.03]
+                if not stale or eff_now() > 1.02:
+                    break
+                cores = stale[0]
+                elapsed = time.perf_counter() - t_sched
+                if elapsed + sess_cost.get(cores, budget) > budget * 1.10:
+                    break
+                wait_for_quiet(max_wait=60.0)
+                run_session(cores, "gapfill")
+            converged = (gap(lo_) <= 0.03 and gap(hi_) <= 0.03
+                         and eff_now() <= 1.02)
+            if converged:
+                out["converged"] = True
+                print(f"#   scaling converged after gap-filling "
+                      f"({time.perf_counter() - t_sched:.0f}s)", flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # Statistic: co-tenant interference on this shared VM is strictly

@@ -4,12 +4,17 @@ columns with typed metadata.
 The Spark-side plumbing (schema, batching, partition sizing, UDF
 signatures) is real and tested. Decoding has two tiers:
 
-* codec ``zraw`` — a REAL decode path: the payload is a
-  zlib-compressed raw sample array (uint8 pixels / PCM bytes) whose
-  shape lives in ``meta``; decode = ``zlib.decompress`` →
-  ``np.frombuffer`` → reshape → pooled features. This exercises the
-  full pipeline on genuinely encoded, round-trippable bytes using only
-  the stdlib codec available in this container.
+* REAL decode paths — genuinely encoded, round-trippable bytes in
+  standard container formats, using only what this container ships:
+
+  - ``wav`` — RIFF/WAVE PCM (8- or 16-bit mono) via the stdlib
+    ``wave`` module: a real audio file any player/tool can open.
+  - ``pgm`` — binary netpbm ``P5`` grayscale images: a real image
+    format readable by ImageMagick/PIL/GIMP, parsed here directly.
+  - ``zraw`` — zlib-compressed raw sample array (uint8 pixels / PCM
+    bytes) whose shape lives in ``meta``; the minimal real codec used
+    where no stdlib container exists (video sample streams).
+
 * codec ``fake`` — a STUB for formats needing external libs (JPEG /
   FLAC / H.264): deterministic fake keyed on the payload bytes,
   clearly marked. Swapping in PIL / torchaudio / pyav changes one
@@ -51,6 +56,10 @@ def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256,
     ``codec='zraw'`` (default): payloads are REAL zlib-compressed raw
     sample arrays — images are (h, w) uint8 pixel grids, audio/video
     are 1-D uint8 sample streams — with the shape recorded in ``meta``.
+    ``codec='real'``: per-kind STANDARD container formats — images are
+    binary netpbm ``P5`` files, audio is RIFF/WAVE 16-bit PCM, video
+    stays a ``zraw`` sample stream (no stdlib video container; H.264 is
+    the declared stub).
     ``codec='fake'``: opaque pseudo-bytes for the stubbed decoders.
     """
     import zlib
@@ -64,7 +73,7 @@ def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256,
                 rng = np.random.default_rng(seed * 1_000_003 + int(i))
                 kind = kinds[int(i) % 3]
                 raw = rng.integers(0, 256, payload_bytes, dtype=np.uint8)
-                if codec == "zraw":
+                if codec in ("zraw", "real"):
                     if kind == "image":
                         # width clamps to the payload so the recorded
                         # h×w always matches the truncated sample count
@@ -73,12 +82,24 @@ def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256,
                         w = min(16, max(1, payload_bytes))
                         h = max(1, payload_bytes // w)
                         raw = raw[: h * w]
-                        meta = {"codec": "zraw", "kind": kind,
+                        meta = {"kind": kind,
                                 "height": str(h), "width": str(w)}
+                        if codec == "real":
+                            meta["codec"] = "pgm"
+                            media = _pgm_bytes(raw.reshape(h, w))
+                        else:
+                            meta["codec"] = "zraw"
+                            media = zlib.compress(raw.tobytes())
+                    elif kind == "audio" and codec == "real":
+                        pcm = rng.integers(-32768, 32768, payload_bytes // 2,
+                                           dtype=np.int16)
+                        meta = {"codec": "wav", "kind": kind,
+                                "n_samples": str(len(pcm))}
+                        media = _wav_bytes(pcm)
                     else:
                         meta = {"codec": "zraw", "kind": kind,
                                 "n_samples": str(payload_bytes)}
-                    media = zlib.compress(raw.tobytes())
+                        media = zlib.compress(raw.tobytes())
                 else:
                     media = raw.tobytes()
                     meta = {"codec": "fake", "kind": kind}
@@ -94,11 +115,13 @@ def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256,
 
 def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Encode REAL table content into the asset model: each row's text
-    becomes a zlib-compressed 1-D ``zraw`` payload (audio/video
-    alternating by id) with the sample count in ``meta``. This is the
-    encode half of a genuinely round-trippable pipeline — decoding the
-    assets must reproduce the source column byte-for-byte, which puts
-    the binary-column plumbing under a DuckDB oracle
+    bytes become the samples of a real media payload — even ids a
+    RIFF/WAVE 8-bit PCM file (stdlib ``wave``; opens in any audio
+    tool), odd ids a zlib ``zraw`` stream — with the sample count in
+    ``meta``. This is the encode half of a genuinely round-trippable
+    pipeline: decoding the assets must reproduce the source column
+    byte-for-byte, which puts BOTH real codec paths (WAV container
+    parse + zlib inflate) under a DuckDB oracle
     (``__spark_entry__.q_multimodal_roundtrip``)."""
     def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
@@ -106,10 +129,15 @@ def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             rows = []
             for aid, t in zip(pdf[id_col], pdf[text_col]):
                 b = t.encode("utf-8")
-                kind = "audio" if int(aid) % 2 == 0 else "video"
+                if int(aid) % 2 == 0:
+                    kind, codec = "audio", "wav"
+                    media = _wav_bytes(np.frombuffer(b, dtype=np.uint8))
+                else:
+                    kind, codec = "video", "zraw"
+                    media = zlib.compress(b)
                 rows.append({"asset_id": int(aid), "kind": kind,
-                             "media": zlib.compress(b),
-                             "meta": {"codec": "zraw", "kind": kind,
+                             "media": media,
+                             "meta": {"codec": codec, "kind": kind,
                                       "n_samples": str(len(b))}})
             yield pd.DataFrame(rows)
 
@@ -134,7 +162,7 @@ def decode_payloads(df: DataFrame) -> DataFrame:
             rows = []
             for aid, kind, media, meta in zip(pdf["asset_id"], pdf["kind"],
                                               pdf["media"], pdf["meta"]):
-                raw = _zraw_raw(media, meta)
+                raw = _raw_decode(media, meta)
                 rows.append({"asset_id": aid, "kind": kind,
                              "n_samples": len(raw),
                              "payload": raw.tobytes()})
@@ -152,6 +180,78 @@ def _pool_features(arr: np.ndarray, out_dim: int) -> np.ndarray:
     return arr.reshape(-1, out_dim).mean(axis=0) / 255.0
 
 
+def _wav_bytes(samples: np.ndarray, framerate: int = 16000) -> bytes:
+    """Encode a 1-D sample array as a REAL RIFF/WAVE PCM file (stdlib
+    ``wave``): uint8 → 8-bit unsigned PCM, int16 → 16-bit signed PCM,
+    mono. The output opens in any audio tool."""
+    import io
+    import wave
+    if samples.dtype == np.uint8:
+        sampwidth = 1
+    elif samples.dtype == np.int16:
+        sampwidth = 2
+    else:
+        raise ValueError(f"WAV PCM needs uint8 or int16, got {samples.dtype}")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _wav_raw(media: bytes, meta: dict) -> np.ndarray:
+    """REAL audio decode: parse the RIFF/WAVE container (stdlib
+    ``wave`` — rejects corrupt/truncated files), validate against the
+    typed metadata, return the PCM sample array (uint8 for 8-bit,
+    int16 for 16-bit)."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(bytes(media)), "rb") as w:
+        nch, sw, nframes = w.getnchannels(), w.getsampwidth(), w.getnframes()
+        frames = w.readframes(nframes)
+    if nch != 1:
+        raise ValueError(f"expected mono PCM, got {nch} channels")
+    if sw not in (1, 2):
+        raise ValueError(f"unsupported sample width {sw}")
+    raw = np.frombuffer(frames, dtype=np.uint8 if sw == 1 else np.int16)
+    if "n_samples" in meta and len(raw) != int(meta["n_samples"]):
+        raise ValueError(f"WAV has {len(raw)} samples, meta says"
+                         f" {meta['n_samples']}")
+    return raw
+
+
+def _pgm_bytes(img: np.ndarray) -> bytes:
+    """Encode a 2-D uint8 array as a REAL binary netpbm ``P5`` image."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("PGM needs a 2-D uint8 array")
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _pgm_raw(media: bytes, meta: dict) -> np.ndarray:
+    """REAL image decode: parse the binary netpbm ``P5`` header
+    (magic, dims, maxval — comments allowed), validate the payload
+    length and any recorded meta shape, return the (h, w) pixel grid."""
+    import re
+    media = bytes(media)
+    m = re.match(rb"P5\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", media)
+    if not m:
+        raise ValueError("not a binary PGM (P5) payload")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PGM supported, maxval={maxval}")
+    pixels = np.frombuffer(media, dtype=np.uint8, offset=m.end())
+    if len(pixels) != h * w:
+        raise ValueError(f"PGM payload has {len(pixels)} pixels,"
+                         f" header says {w}x{h}")
+    if "height" in meta and (int(meta["height"]), int(meta["width"])) != (h, w):
+        raise ValueError(f"PGM header {w}x{h} contradicts meta"
+                         f" {meta['width']}x{meta['height']}")
+    return pixels.reshape(h, w)
+
+
 def _zraw_raw(media: bytes, meta: dict) -> np.ndarray:
     """REAL decode core: zlib-decompress the payload and reconstruct
     the sample array, validating against the typed metadata (images:
@@ -159,9 +259,6 @@ def _zraw_raw(media: bytes, meta: dict) -> np.ndarray:
     corrupt/mis-shaped payloads and on non-real codecs — this path
     fails loudly, it does not fall back to a fake."""
     import zlib
-    if meta.get("codec", "zraw") != "zraw":
-        raise ValueError(f"decode_payloads handles real 'zraw' assets only,"
-                         f" got codec {meta.get('codec')!r}")
     raw = np.frombuffer(zlib.decompress(bytes(media)), dtype=np.uint8)
     if meta.get("kind") == "image":
         h, w = int(meta["height"]), int(meta["width"])
@@ -175,9 +272,24 @@ def _zraw_raw(media: bytes, meta: dict) -> np.ndarray:
     return raw
 
 
-def _zraw_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
-    """REAL decode → pooled features (see :func:`_zraw_raw`)."""
-    return _pool_features(_zraw_raw(media, meta), out_dim)
+# codec → raw-sample decoder (REAL paths only — each parses its actual
+# container format, validates, and fails loudly; no fallback to a fake)
+RAW_DECODERS = {"zraw": _zraw_raw, "wav": _wav_raw, "pgm": _pgm_raw}
+
+
+def _raw_decode(media: bytes, meta: dict) -> np.ndarray:
+    codec = meta.get("codec", "zraw")
+    if codec not in RAW_DECODERS:
+        raise ValueError(
+            f"decode_payloads handles real codecs {sorted(RAW_DECODERS)},"
+            f" got {codec!r}")
+    return RAW_DECODERS[codec](media, meta)
+
+
+def _real_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
+    """REAL decode → pooled features (dispatches on ``meta['codec']``
+    through :data:`RAW_DECODERS`)."""
+    return _pool_features(_raw_decode(media, meta), out_dim)
 
 
 def _fake_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
@@ -188,9 +300,12 @@ def _fake_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
     return _pool_features(np.frombuffer(media, dtype=np.uint8), out_dim)
 
 
-# codec → decoder. 'zraw' is a real decode (stdlib zlib); 'fake' is the
-# declared stub for container-unavailable media libraries.
-DECODERS = {"zraw": _zraw_decode, "fake": _fake_decode}
+# codec → feature decoder. 'wav' (RIFF/WAVE PCM via stdlib wave),
+# 'pgm' (binary netpbm P5) and 'zraw' (zlib raw samples) are real
+# decodes; 'fake' is the declared stub for container-unavailable
+# media libraries (JPEG/FLAC/H.264).
+DECODERS = {"zraw": _real_decode, "wav": _real_decode,
+            "pgm": _real_decode, "fake": _fake_decode}
 
 
 def decode_features(df: DataFrame, out_dim: int = 16) -> DataFrame:

@@ -146,6 +146,10 @@ def incremental_sketch_sink(kind: str, value_col: str, state_path: str, *,
             .select(*cols)
         kb = _bucket_col(key_col, n_state_buckets)
         if key_col:
+            # the touched-bucket probe and the merge both consume the
+            # partials — persist so the phase-1 build runs ONCE per
+            # micro-batch, not once per consumer
+            partials = partials.persist()
             # tiny collect: ≤ n_state_buckets ints, never key data
             touched = sorted(
                 r[0] for r in
@@ -165,7 +169,11 @@ def incremental_sketch_sink(kind: str, value_col: str, state_path: str, *,
             .withColumn("kb", kb if key_col else F.lit(0))
         new_version = (version or 0) + 1
         vdir = os.path.join(state_path, f"v={new_version}")
-        merged.write.mode("overwrite").partitionBy("kb").parquet(vdir)
+        try:
+            merged.write.mode("overwrite").partitionBy("kb").parquet(vdir)
+        finally:
+            if key_col:
+                partials.unpersist()
         for b in touched:
             manifest[str(b)] = f"v={new_version}/kb={b}"
         _write_pointer(state_path, {

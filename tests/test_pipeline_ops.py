@@ -366,6 +366,94 @@ class TestMultimodal:
         with _pt.raises(Exception):
             multimodal.decode_features(bad, out_dim=4).collect()
 
+    def test_wav_codec_against_independent_riff_parse(self):
+        """The WAV path is a REAL RIFF/WAVE codec: our encoder's bytes
+        must parse as a well-formed RIFF container (verified here with
+        a hand-written struct parse, independent of both our decoder
+        and the stdlib wave module), and our decoder must invert a WAV
+        file CONSTRUCTED from raw struct packing."""
+        import struct
+        samples = np.arange(-500, 500, 7, dtype=np.int16)
+        enc = multimodal._wav_bytes(samples, framerate=8000)
+        # independent parse of the produced container
+        assert enc[0:4] == b"RIFF" and enc[8:12] == b"WAVE"
+        assert struct.unpack("<I", enc[4:8])[0] == len(enc) - 8
+        assert enc[12:16] == b"fmt "
+        fmt_size = struct.unpack("<I", enc[16:20])[0]
+        audio_fmt, nch, rate, _brate, _align, bits = struct.unpack(
+            "<HHIIHH", enc[20:36])
+        assert (audio_fmt, nch, rate, bits) == (1, 1, 8000, 16)
+        data_off = 20 + fmt_size
+        assert enc[data_off:data_off + 4] == b"data"
+        n_bytes = struct.unpack("<I", enc[data_off + 4:data_off + 8])[0]
+        assert enc[data_off + 8:data_off + 8 + n_bytes] == samples.tobytes()
+        # decoder inverts an externally struct-packed WAV (8-bit PCM)
+        pcm8 = np.arange(256, dtype=np.uint8)
+        ext = (b"RIFF" + struct.pack("<I", 36 + len(pcm8)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000,
+                                       16000, 1, 8)
+               + b"data" + struct.pack("<I", len(pcm8)) + pcm8.tobytes())
+        got = multimodal._wav_raw(ext, {"n_samples": "256"})
+        assert got.dtype == np.uint8 and np.array_equal(got, pcm8)
+        # round trip through our own pair
+        rt = multimodal._wav_raw(enc, {"n_samples": str(len(samples))})
+        assert rt.dtype == np.int16 and np.array_equal(rt, samples)
+        # corrupt container fails loudly
+        with pytest.raises(Exception):
+            multimodal._wav_raw(enc[:30], {})
+        # meta contradiction fails loudly
+        with pytest.raises(ValueError):
+            multimodal._wav_raw(enc, {"n_samples": "1"})
+
+    def test_pgm_codec_against_independent_bytes(self):
+        """The PGM path is a REAL netpbm codec: decode a hand-written
+        P5 file (with a header comment), and check our encoder emits
+        exactly the canonical header + raster."""
+        img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        ext = b"P5\n# a comment\n4 3\n255\n" + img.tobytes()
+        got = multimodal._pgm_raw(ext, {"height": "3", "width": "4"})
+        assert np.array_equal(got, img)
+        enc = multimodal._pgm_bytes(img)
+        assert enc == b"P5\n4 3\n255\n" + img.tobytes()
+        assert np.array_equal(multimodal._pgm_raw(enc, {}), img)
+        with pytest.raises(ValueError):
+            multimodal._pgm_raw(ext[:-3], {})          # truncated raster
+        with pytest.raises(ValueError):
+            multimodal._pgm_raw(b"P6" + ext[2:], {})   # wrong magic
+        with pytest.raises(ValueError):
+            multimodal._pgm_raw(ext, {"height": "4", "width": "3"})
+
+    def test_make_assets_real_codecs_decode(self, spark):
+        """codec='real': images are actual PGM files, audio actual WAV
+        files, video zraw — all three decode through the same pipeline
+        and features match pooling the independently decoded samples."""
+        import zlib
+        assets = multimodal.make_assets(spark, 12, codec="real",
+                                        payload_bytes=256)
+        rows = assets.collect()
+        by_kind = {}
+        for r in rows:
+            by_kind.setdefault(r["kind"], []).append(r)
+        assert {r["meta"]["codec"] for r in by_kind["image"]} == {"pgm"}
+        assert {r["meta"]["codec"] for r in by_kind["audio"]} == {"wav"}
+        assert {r["meta"]["codec"] for r in by_kind["video"]} == {"zraw"}
+        # every image payload is a parseable PGM; every audio a RIFF
+        assert all(bytes(r["media"]).startswith(b"P5\n")
+                   for r in by_kind["image"])
+        assert all(bytes(r["media"]).startswith(b"RIFF")
+                   for r in by_kind["audio"])
+        feats = {r["asset_id"]: r["features"] for r in
+                 multimodal.decode_features(assets, out_dim=8).collect()}
+        assert len(feats) == 12
+        for r in rows:
+            raw = multimodal._raw_decode(bytes(r["media"]), dict(r["meta"]))
+            want = multimodal._pool_features(raw, 8)
+            assert np.allclose(np.array(feats[r["asset_id"]]), want,
+                               atol=1e-6)
+        # payload surface works for the container formats too
+        n = multimodal.decode_payloads(assets).count()
+        assert n == 12
+
 
 class TestNgramGramCap:
     def test_capped_still_finds_planted_dups(self, spark, docs):
