@@ -307,13 +307,22 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                 break
             pairs_done += 1
             elapsed = time.perf_counter() - t_sched
-            # efficiency > 1 is physically impossible for this workload,
-            # so a superlinear min-ratio PROVES the lo-level walls are
-            # inflated (interference from neighbor VMs is invisible to
-            # our loadavg) — such a state must never count as converged
+            # min-ratio > 1 means SOME distortion: either the lo level
+            # never escaped an interference window (plateau days inflate
+            # it 15-40% ⇒ ratio ≥ ~1.15 — never accepted), or the real,
+            # measured structural artifact of the (1,4) stand-in: with
+            # ActiveProcessorCount=1 the JVM's stop-the-world GC is
+            # single-threaded, so identical GC work costs ~4× more wall
+            # at the lo level (measured floors 93.8 s vs 4×23.0 = 92.0 s
+            # ⇒ ratio 1.02). Convergence = both floors REPRODUCED
+            # (two best in-level samples within 3%) and the ratio inside
+            # the structural band (≤ 1.05); the headline for ratios in
+            # (1, 1.05] still falls back to the conservative same-window
+            # pair median below — converged refers to the instrument,
+            # never to accepting a >1 number.
             converged = (pairs_done >= min_pairs
                          and gap(lo_) <= 0.03 and gap(hi_) <= 0.03
-                         and eff_now() <= 1.02)
+                         and eff_now() <= 1.05)
             if converged or elapsed > budget:
                 out["converged"] = bool(converged)
                 print(f"#   scaling stop after {pairs_done} session pairs "
@@ -329,7 +338,7 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
         if not out["converged"] and pairs_done >= min_pairs:
             for _ in range(4):
                 stale = [c for c in (hi_, lo_) if gap(c) > 0.03]
-                if not stale or eff_now() > 1.02:
+                if not stale or eff_now() > 1.05:
                     break
                 cores = stale[0]
                 elapsed = time.perf_counter() - t_sched
@@ -338,7 +347,7 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                 wait_for_quiet(max_wait=60.0)
                 run_session(cores, "gapfill")
             converged = (gap(lo_) <= 0.03 and gap(hi_) <= 0.03
-                         and eff_now() <= 1.02)
+                         and eff_now() <= 1.05)
             if converged:
                 out["converged"] = True
                 print(f"#   scaling converged after gap-filling "
@@ -383,15 +392,20 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
     eff_raw = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
     out["scaling_efficiency_raw"] = round(eff_raw, 3)
     if eff_raw > 1.0:
-        # impossible → the lo min never escaped an interference window
-        # (its ~2-min exposure needs a quiet stretch the hi level's
-        # ~30s exposure doesn't). Headline falls back to the median of
-        # the ACCEPTED same-window pairs: adjacent sessions share their
-        # noise, and shared additive noise inflates the SHORT hi wall
-        # relatively more, so an accepted per-pair ratio is a
-        # CONSERVATIVE LOWER BOUND on the true efficiency — the honest
-        # bad-day statistic (a 1.0 clamp would overstate instead).
-        out["lo_walls_inflated"] = True
+        # ratio > 1 → either the lo min never escaped an interference
+        # window (its ~2-min exposure needs a quiet stretch the hi
+        # level's ~30s exposure doesn't; typical plateau ratios ≥1.15),
+        # or — when both floors reproduced and the ratio is ≤ ~1.05 —
+        # the measured structural artifact of the (1,4) stand-in (the
+        # lo JVM's single-threaded stop-the-world GC; see convergence
+        # comment above). Either way a >1 number is never reported:
+        # the headline falls back to the median of the ACCEPTED
+        # same-window pairs — adjacent sessions share their noise, and
+        # shared additive noise inflates the SHORT hi wall relatively
+        # more, so an accepted per-pair ratio is a CONSERVATIVE LOWER
+        # BOUND on the true efficiency (a 1.0 clamp would overstate).
+        out["lo_walls_inflated"] = bool(eff_raw > 1.05)
+        out["structural_superlinearity"] = bool(eff_raw <= 1.05)
         eff_raw = (statistics.median(accepted) if accepted else 1.0)
         out["headline_statistic"] = "median of accepted same-window pairs" \
             if accepted else "clamped (no accepted pair)"
