@@ -97,3 +97,42 @@ def test_cuckoo_removals_cogroup_no_extra_exchange(spark):
     # shard groups) and one for the removal hashes
     assert "FlatMapCoGroupsInPandas" in plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_sampling_ops_shuffle_free_pruned(spark):
+    """SCALE.md §5b: sample / split / stratified-mix decisions are
+    narrow projections+filters — NO Exchange, NO Python in the plan,
+    and the scan reads only the referenced columns."""
+    from gostatix_spark import sampling
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df, cols in [
+        (sampling.deterministic_sample(docs, "doc_id", 0.25)
+         .select("doc_id"), {"doc_id"}),
+        (sampling.assign_split(docs, "doc_id").select("doc_id", "split"),
+         {"doc_id"}),
+        (sampling.stratified_sample(docs, "doc_id", "source",
+                                    {"src1": 0.5}, default=0.1)
+         .select("doc_id", "source"), {"doc_id", "source"}),
+    ]:
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and set(c.split(":")[0] for c in m.group(1).split(",")) \
+            == cols, plan
+
+
+def test_token_shards_partitioned_window_single_exchange(spark):
+    """The at-scale token_shards shape: ONE hash Exchange into the
+    16^N partition groups, per-group sort + running window — no global
+    sort, no range partitioning."""
+    from gostatix_spark import sampling
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "n_tok", F.size(F.split("text", " ")))
+    out = sampling.token_shards(docs, "doc_id", "n_tok", budget=1000,
+                                part_hex_chars=1).select("doc_id", "shard")
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Window" in plan, plan
