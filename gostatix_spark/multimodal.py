@@ -330,8 +330,11 @@ def decode_features(df: DataFrame, out_dim: int = 16) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 32) -> DataFrame:
-    """Video 'frame sampling' stub: split the payload into fixed-size
-    pseudo-frames, keep every n-th. Demonstrates the 1→many row
+    """Sample fixed-size frames (every n-th block of ``frame_bytes``
+    samples) from each video asset's DECODED sample stream — real
+    codecs (`zraw`/`wav`/`pgm`) are decoded first, so frames are
+    sample data, not compressed bytes; the declared ``fake`` codec
+    frames its opaque payload directly. Demonstrates the 1→many row
     expansion pattern (mapInPandas yielding more rows than it got)."""
     out_schema = StructType([
         StructField("asset_id", LongType(), False),
@@ -342,12 +345,17 @@ def frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 32) -> Data
     def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             rows = []
-            for aid, media in zip(pdf["asset_id"], pdf["media"]):
-                n_frames = len(media) // frame_bytes
+            for aid, media, meta in zip(pdf["asset_id"], pdf["media"],
+                                        pdf["meta"]):
+                if meta.get("codec", "fake") in RAW_DECODERS:
+                    stream = _raw_decode(media, meta).ravel().tobytes()
+                else:
+                    stream = bytes(media)
+                n_frames = len(stream) // frame_bytes
                 for fno in range(0, n_frames, every_n):
                     rows.append({"asset_id": aid, "frame_no": fno,
-                                 "frame": media[fno * frame_bytes:
-                                                (fno + 1) * frame_bytes]})
+                                 "frame": stream[fno * frame_bytes:
+                                                 (fno + 1) * frame_bytes]})
             if rows:
                 yield pd.DataFrame(rows)
 

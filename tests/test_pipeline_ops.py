@@ -366,6 +366,25 @@ class TestMultimodal:
         with _pt.raises(Exception):
             multimodal.decode_features(bad, out_dim=4).collect()
 
+    def test_frame_sample_decodes_real_codec_first(self, spark):
+        """Frames from zraw videos must come from the DECODED sample
+        stream (verified against an independent zlib.decompress), not
+        from slices of the compressed payload."""
+        import zlib
+        assets = multimodal.make_assets(spark, 9, codec="zraw",
+                                        payload_bytes=256)
+        frames = {}
+        for r in multimodal.frame_sample(assets, every_n=2,
+                                         frame_bytes=32).collect():
+            frames[(r["asset_id"], r["frame_no"])] = bytes(r["frame"])
+        vids = {r["asset_id"]: bytes(r["media"])
+                for r in assets.collect() if r["kind"] == "video"}
+        assert vids and frames
+        for aid, media in vids.items():
+            raw = zlib.decompress(media)
+            for fno in range(0, len(raw) // 32, 2):
+                assert frames[(aid, fno)] == raw[fno * 32:(fno + 1) * 32]
+
     def test_wav_codec_against_independent_riff_parse(self):
         """The WAV path is a REAL RIFF/WAVE codec: our encoder's bytes
         must parse as a well-formed RIFF container (verified here with
