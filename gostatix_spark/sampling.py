@@ -105,7 +105,9 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     ``fractions`` maps stratum value → keep-fraction. This is how a
     training mix is weighted (e.g. keep 100% of books, 10% of
     crawl). Implemented as a CASE over broadcast-small literals — one
-    narrow pass, no shuffle, no join."""
+    narrow pass, no shuffle, no join. Rows whose stratum is NULL or
+    unlisted get the ``default`` rate (the coalesce below: a NULL
+    stratum must not silently vanish when default > 0)."""
     u = hash_uniform_hex(id_col, salt)
     expr = None
     for val, frac in fractions.items():
@@ -113,8 +115,9 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
             (u < F.lit(hex_threshold(frac)))
         expr = cond if expr is None else expr | cond
     base = u < F.lit(hex_threshold(default))
-    expr = base if expr is None else expr | (
-        ~F.col(strata_col).isin(list(fractions)) & base)
+    unlisted = F.coalesce(~F.col(strata_col).isin(list(fractions)),
+                          F.lit(True))
+    expr = base if expr is None else expr | (unlisted & base)
     return df.where(expr)
 
 

@@ -80,6 +80,18 @@ class TestSampling:
         for s in ("src3", "src4", "src5", "src6"):
             assert got.get(s, 0) / per == pytest.approx(0.1, abs=0.05)
 
+    def test_stratified_sample_null_stratum_gets_default(self, spark):
+        """A NULL stratum must sample at the default rate, not vanish
+        (NULL isin → NULL → silently filtered before the coalesce)."""
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("a")).alias("source"))
+        out = sampling.stratified_sample(df, "doc_id", "source",
+                                         {"a": 0.0}, default=0.5)
+        rows = out.collect()
+        assert all(r["source"] is None for r in rows)  # 'a' fully dropped
+        assert len(rows) / 1000 == pytest.approx(0.5, abs=0.08)
+
     def test_token_shards_budget_and_determinism(self, spark):
         df = spark.range(600).select(
             F.col("id").alias("doc_id"),
