@@ -78,6 +78,33 @@ def q_hll_bound_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
 
+def q_hll_intersect_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: pairwise distinct-user INTERSECTION estimates
+    between event types by inclusion–exclusion over the mergeable
+    sketches (query.hll_intersect_pairs), gated against the exact
+    pairwise intersection at 3σ with the RSS error bound
+    σ = (1.04/√m)·sqrt(est_a² + est_b² + est_union²). The Spark side
+    genuinely computes both; the oracle asserts every pair passes."""
+    from gostatix_spark.query import hll_intersect_pairs
+    events = _read(spark, sf_dir, "events")
+    states = sketch_agg(events, "hll", "user_id", key_col="event_type",
+                        m=HLL_M)
+    est = hll_intersect_pairs(states, "event_type")
+    ea = events.select(F.col("event_type").alias("key_a"), "user_id")
+    eb = events.select(F.col("event_type").alias("key_b"), "user_id")
+    exact = (ea.join(eb, "user_id")
+             .where(F.col("key_a") < F.col("key_b"))
+             .groupBy("key_a", "key_b")
+             .agg(F.countDistinct("user_id").alias("exact_intersect")))
+    sigma = params.hll_accuracy(HLL_M) * F.sqrt(
+        F.col("est_a") ** 2 + F.col("est_b") ** 2 + F.col("est_union") ** 2)
+    return (est.join(exact, ["key_a", "key_b"])
+            .select("key_a", "key_b",
+                    (F.abs(F.col("est_intersect")
+                           - F.col("exact_intersect"))
+                     <= 3 * sigma).alias("within_bound")))
+
+
 def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS point queries for every event type. d=5, w=2719 with ~5
     distinct keys → estimates are exact (deterministic hashing), so the
@@ -500,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_users": q_hll_users,
         "hll_bound_gate": q_hll_bound_gate,
+        "hll_intersect_gate": q_hll_intersect_gate,
         "cms_event_counts": q_cms_event_counts,
         "cms_annotate": q_cms_annotate,
         "topk_partkeys": q_topk_partkeys,
@@ -562,6 +590,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "hll_bound_gate": (
             "SELECT DISTINCT event_type, TRUE AS within_bound FROM events"),
+        "hll_intersect_gate": (
+            "SELECT a.event_type AS key_a, b.event_type AS key_b,"
+            " TRUE AS within_bound"
+            " FROM (SELECT DISTINCT event_type FROM events) a"
+            " JOIN (SELECT DISTINCT event_type FROM events) b"
+            " ON a.event_type < b.event_type"),
         "cms_event_counts": (
             "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"),
         "cms_annotate": (

@@ -28,7 +28,8 @@ from gostatix_spark.kernels import bloom, cms, cuckoo, hll, topk
 from gostatix_spark.state import (BloomState, CMSState, CuckooState, HLLState,
                                   TopKState, sketch_from_bytes)
 
-__all__ = ["hll_estimate", "cms_counts", "topk_values", "bloom_contains",
+__all__ = ["hll_estimate", "hll_intersect_pairs", "cms_counts",
+           "topk_values", "bloom_contains",
            "bloom_contains_sharded", "bloom_contains_join",
            "cuckoo_contains", "cuckoo_contains_join", "cms_count_col",
            "quantiles", "sketch_info", "hash_pandas"]
@@ -71,6 +72,53 @@ def hll_estimate(states: DataFrame, out_col: str = "est_distinct",
                       linear_counting=linear_counting)
             for b in blobs], dtype="int64")
     return states.withColumn(out_col, est(F.col("state")))
+
+
+def hll_intersect_pairs(states: DataFrame, key_col: str,
+                        linear_counting: bool = True) -> DataFrame:
+    """Pairwise distinct-intersection estimates between keyed HLL
+    sketches by inclusion–exclusion: ``|A∩B| ≈ |A| + |B| − |A∪B|``,
+    where the union sketch is the registerwise max (the ⊕-merge — the
+    composition the mergeable design buys for free; the reference has
+    no set algebra beyond merge, ``hyperloglog.go:103-112``).
+
+    Output: ``[key_a, key_b, est_a, est_b, est_union, est_intersect]``
+    for every unordered key pair. Error: each term carries the
+    standard 1.04/√m relative error; RSS-combining gives
+    ``σ_∩ ≈ (1.04/√m)·sqrt(|A|² + |B|² + |A∪B|²)`` — small-overlap
+    pairs have large RELATIVE error (inclusion–exclusion's known
+    weakness); gate accordingly (see q:hll_intersect_gate).
+
+    The pair join is states×states — tiny (one KB-row per key), never
+    data-sized."""
+    a = states.select(F.col(key_col).alias("key_a"),
+                      F.col("state").alias("_sa"))
+    b = states.select(F.col(key_col).alias("key_b"),
+                      F.col("state").alias("_sb"))
+    out_t = StructType([StructField("est_a", LongType()),
+                        StructField("est_b", LongType()),
+                        StructField("est_union", LongType()),
+                        StructField("est_intersect", LongType())])
+
+    @F.pandas_udf(out_t)
+    def est(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x, y in zip(sa, sb):
+            ra = sketch_from_bytes(bytes(x)).registers
+            rb = sketch_from_bytes(bytes(y)).registers
+            na = hll.count(ra, linear_counting=linear_counting)
+            nb = hll.count(rb, linear_counting=linear_counting)
+            nu = hll.count(hll.merge(ra, rb),
+                           linear_counting=linear_counting)
+            rows.append((int(na), int(nb), int(nu),
+                         int(na + nb - nu)))
+        return pd.DataFrame(rows, columns=["est_a", "est_b",
+                                           "est_union", "est_intersect"])
+
+    return (a.join(b, F.col("key_a") < F.col("key_b"))
+            .withColumn("_e", est("_sa", "_sb"))
+            .select("key_a", "key_b", "_e.est_a", "_e.est_b",
+                    "_e.est_union", "_e.est_intersect"))
 
 
 def topk_values(states: DataFrame, out_elem: str = "element",

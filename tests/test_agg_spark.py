@@ -39,6 +39,35 @@ class TestHLLAgg:
             rel = abs(got[s] - exact[s]) / exact[s]
             assert rel <= bound, (s, got[s], exact[s])
 
+    def test_intersect_pairs_inclusion_exclusion(self, spark):
+        """hll_intersect_pairs: planted overlapping id sets — the
+        estimate must sit within the RSS 3σ bound of the TRUE
+        intersection for every pair, and est_a/est_b/est_union must be
+        self-consistent (est_intersect = est_a + est_b − est_union)."""
+        from gostatix_spark.query import hll_intersect_pairs
+        m = 4096
+        # groups: g0 = [0, 20k), g1 = [10k, 30k), g2 = [25k, 45k)
+        spans = {"g0": (0, 20000), "g1": (10000, 30000),
+                 "g2": (25000, 45000)}
+        df = None
+        for g, (lo, hi) in spans.items():
+            part = spark.range(lo, hi).select(
+                F.lit(g).alias("grp"), F.col("id").alias("uid"))
+            df = part if df is None else df.unionByName(part)
+        states = sketch_agg(df, "hll", "uid", key_col="grp", m=m)
+        rows = hll_intersect_pairs(states, "grp").collect()
+        assert len(rows) == 3
+        acc = params.hll_accuracy(m)
+        for r in rows:
+            (a_lo, a_hi), (b_lo, b_hi) = spans[r["key_a"]], spans[r["key_b"]]
+            true = max(0, min(a_hi, b_hi) - max(a_lo, b_lo))
+            sigma = acc * (r["est_a"] ** 2 + r["est_b"] ** 2
+                           + r["est_union"] ** 2) ** 0.5
+            assert r["est_intersect"] == \
+                r["est_a"] + r["est_b"] - r["est_union"]
+            assert abs(r["est_intersect"] - true) <= 3 * sigma, \
+                (r, true, sigma)
+
     def test_partition_invariance_bytewise(self, spark, corpus):
         blobs = []
         for nparts in (1, 4, 8):
