@@ -105,6 +105,22 @@ def q_hll_intersect_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      <= 3 * sigma).alias("within_bound")))
 
 
+def q_bloom_cardinality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swamidass–Baldi fill-ratio cardinality recovered from the bloom
+    BITSET (query.bloom_cardinality) vs the exact distinct count —
+    gated at 3% (generous: the estimator's σ at this fill is ≪1%).
+    Deterministic: fixed hashes ⇒ fixed fill ⇒ fixed estimate."""
+    from gostatix_spark.query import bloom_cardinality
+    orders = _read(spark, sf_dir, "orders")
+    exact = orders.select(F.countDistinct("o_custkey").alias("x")) \
+        .collect()[0]["x"]
+    states = sketch_agg(orders, "bloom", "o_custkey",
+                        n=max(exact, 1), eps=0.01)
+    return (bloom_cardinality(states)
+            .select((F.abs(F.col("est_items") - F.lit(exact))
+                     / F.lit(float(exact)) <= 0.03).alias("within_bound")))
+
+
 def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS point queries for every event type. d=5, w=2719 with ~5
     distinct keys → estimates are exact (deterministic hashing), so the
@@ -528,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users": q_hll_users,
         "hll_bound_gate": q_hll_bound_gate,
         "hll_intersect_gate": q_hll_intersect_gate,
+        "bloom_cardinality_gate": q_bloom_cardinality_gate,
         "cms_event_counts": q_cms_event_counts,
         "cms_annotate": q_cms_annotate,
         "topk_partkeys": q_topk_partkeys,
@@ -596,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT DISTINCT event_type FROM events) a"
             " JOIN (SELECT DISTINCT event_type FROM events) b"
             " ON a.event_type < b.event_type"),
+        "bloom_cardinality_gate": "SELECT TRUE AS within_bound",
         "cms_event_counts": (
             "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"),
         "cms_annotate": (

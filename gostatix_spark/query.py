@@ -29,7 +29,7 @@ from gostatix_spark.state import (BloomState, CMSState, CuckooState, HLLState,
                                   TopKState, sketch_from_bytes)
 
 __all__ = ["hll_estimate", "hll_intersect_pairs", "cms_counts",
-           "topk_values", "bloom_contains",
+           "topk_values", "bloom_contains", "bloom_cardinality",
            "bloom_contains_sharded", "bloom_contains_join",
            "cuckoo_contains", "cuckoo_contains_join", "cms_count_col",
            "quantiles", "sketch_info", "hash_pandas"]
@@ -191,6 +191,32 @@ def cms_counts(states: DataFrame, items: list, element: str = "string",
                 if c not in ("state", "n_items", "n_partials")]
     return (states.withColumn("_q", F.explode(q(F.col("state"))))
             .select(*key_cols, "_q.item", f"_q.{out_col}"))
+
+
+def bloom_cardinality(states: DataFrame,
+                      out_col: str = "est_items") -> DataFrame:
+    """Swamidass–Baldi cardinality estimate from a Bloom filter's fill:
+    ``n̂ = −(m/k)·ln(1 − X/m)`` with X set bits — recovers an item
+    count from the bitset ALONE (no counter), e.g. after OR-merging
+    filters whose item counts overlap (n_items would double-count
+    shared elements; the fill does not). Saturated filters (X = m)
+    return −1: the estimate diverges there by construction."""
+    @F.pandas_udf(LongType())
+    def est(blobs: pd.Series) -> pd.Series:
+        vals = []
+        for b in blobs:
+            st = sketch_from_bytes(bytes(b))
+            # bits ≥ m are never set (positions are mod m), so a full
+            # popcount of the backing words IS the fill count X
+            x = int(np.unpackbits(st.words.view(np.uint8)).sum())
+            if x >= st.m:
+                vals.append(-1)
+            else:
+                vals.append(round(-(st.m / st.k)
+                                  * np.log1p(-x / st.m)))
+        return pd.Series(vals, dtype="int64")
+
+    return states.withColumn(out_col, est(F.col("state")))
 
 
 def sketch_info(states: DataFrame) -> DataFrame:

@@ -85,6 +85,31 @@ class TestHLLAgg:
         assert np.array_equal(ra, rb)
 
 
+class TestBloomCardinality:
+    def test_fill_estimate_ignores_duplicate_inserts(self, spark):
+        """bloom_cardinality recovers the DISTINCT count from the
+        bitset fill — where n_items (a row counter) double-counts
+        re-inserted elements. 10k ∪ [5k,15k) = 20k rows, 15k distinct."""
+        from gostatix_spark.query import bloom_cardinality
+        df = spark.range(0, 10000).unionByName(spark.range(5000, 15000))
+        states = sketch_agg(df.select(F.col("id")), "bloom", "id",
+                            n=15000, eps=0.01)
+        r = bloom_cardinality(states).collect()[0]
+        assert r["n_items"] == 20000            # counter double-counts
+        assert abs(r["est_items"] - 15000) / 15000 < 0.03
+
+    def test_saturated_filter_returns_sentinel(self, spark):
+        from gostatix_spark.query import bloom_cardinality
+        from gostatix_spark.state import BloomState, sketch_from_bytes
+        blob = sketch_agg(spark.range(10), "bloom", "id",
+                          n=10, eps=0.01).collect()[0]["state"]
+        st = sketch_from_bytes(bytes(blob))
+        st.words[:] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        full = spark.createDataFrame([(bytearray(st.to_bytes()),)],
+                                     "state binary")
+        assert bloom_cardinality(full).collect()[0]["est_items"] == -1
+
+
 class TestCMSAgg:
     def test_point_queries_vs_exact(self, spark, corpus):
         # wide CMS + few hot tokens → estimates are exact upper bounds
