@@ -121,6 +121,27 @@ def q_bloom_cardinality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.lit(float(exact)) <= 0.03).alias("within_bound")))
 
 
+def q_cms_join_size_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from sketches alone (the planner's use
+    case): CMS inner product over orders.o_custkey × customer.c_custkey
+    (query.cms_inner_product) vs the EXACT join count, gated by the
+    published guarantee — never underestimates, overestimate
+    ≤ ε·‖a‖₁·‖b‖₁ with ε = e/w. Deterministic (fixed hashes)."""
+    from gostatix_spark.query import cms_inner_product
+    d, w = 7, 27183
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    sa = sketch_agg(orders, "cms", "o_custkey", element="int64", d=d, w=w)
+    sb = sketch_agg(cust, "cms", "c_custkey", element="int64", d=d, w=w)
+    est = cms_inner_product(sa, sb).collect()[0]["est_join_size"]
+    exact = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]).count()
+    na, nb = orders.count(), cust.count()
+    bound = (np.e / w) * na * nb
+    ok = bool(exact <= est <= exact + bound)
+    return spark.createDataFrame([(ok,)], "within_bound boolean")
+
+
 def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS point queries for every event type. d=5, w=2719 with ~5
     distinct keys → estimates are exact (deterministic hashing), so the
@@ -545,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_bound_gate": q_hll_bound_gate,
         "hll_intersect_gate": q_hll_intersect_gate,
         "bloom_cardinality_gate": q_bloom_cardinality_gate,
+        "cms_join_size_gate": q_cms_join_size_gate,
         "cms_event_counts": q_cms_event_counts,
         "cms_annotate": q_cms_annotate,
         "topk_partkeys": q_topk_partkeys,
@@ -614,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
             " JOIN (SELECT DISTINCT event_type FROM events) b"
             " ON a.event_type < b.event_type"),
         "bloom_cardinality_gate": "SELECT TRUE AS within_bound",
+        "cms_join_size_gate": "SELECT TRUE AS within_bound",
         "cms_event_counts": (
             "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"),
         "cms_annotate": (

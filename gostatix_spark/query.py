@@ -30,6 +30,7 @@ from gostatix_spark.state import (BloomState, CMSState, CuckooState, HLLState,
 
 __all__ = ["hll_estimate", "hll_intersect_pairs", "cms_counts",
            "topk_values", "bloom_contains", "bloom_cardinality",
+           "cms_inner_product",
            "bloom_contains_sharded", "bloom_contains_join",
            "cuckoo_contains", "cuckoo_contains_join", "cms_count_col",
            "quantiles", "sketch_info", "hash_pandas"]
@@ -191,6 +192,38 @@ def cms_counts(states: DataFrame, items: list, element: str = "string",
                 if c not in ("state", "n_items", "n_partials")]
     return (states.withColumn("_q", F.explode(q(F.col("state"))))
             .select(*key_cols, "_q.item", f"_q.{out_col}"))
+
+
+def cms_inner_product(states_a: DataFrame, states_b: DataFrame,
+                      out_col: str = "est_join_size") -> DataFrame:
+    """Equi-join SIZE estimate from two CMS sketches over the join
+    keys (Cormode–Muthukrishnan): ``⟨a,b⟩ ≈ min_d Σ_w a[d,w]·b[d,w]``
+    — never underestimates, overestimate ≤ ε·‖a‖₁·‖b‖₁ w.p. ≥ 1−δ.
+    The planner's use case: size a join from two KB-sized sketches
+    without touching either table. Requires identical (d, w) — i.e.
+    both built with the same ε/δ — and the same hash family, which
+    this library fixes globally.
+
+    Both inputs are single-state (or per-key, joined by the caller);
+    the cross pair of sketch rows is KB×KB — never data-sized."""
+    a = states_a.select(F.col("state").alias("_sa"))
+    b = states_b.select(F.col("state").alias("_sb"))
+
+    @F.pandas_udf(LongType())
+    def est(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        vals = []
+        for x, y in zip(sa, sb):
+            ma = sketch_from_bytes(bytes(x))
+            mb = sketch_from_bytes(bytes(y))
+            if (ma.d, ma.w) != (mb.d, mb.w):
+                raise ValueError(
+                    f"CMS dims differ: {(ma.d, ma.w)} vs {(mb.d, mb.w)}")
+            prod = (ma.matrix.astype(np.float64)
+                    * mb.matrix.astype(np.float64)).sum(axis=1)
+            vals.append(int(prod.min()))
+        return pd.Series(vals, dtype="int64")
+
+    return a.crossJoin(b).select(est("_sa", "_sb").alias(out_col))
 
 
 def bloom_cardinality(states: DataFrame,

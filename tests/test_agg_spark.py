@@ -85,6 +85,38 @@ class TestHLLAgg:
         assert np.array_equal(ra, rb)
 
 
+class TestCMSInnerProduct:
+    def test_join_size_bound_and_no_underestimate(self, spark):
+        """Planted frequency vectors with a known true join size:
+        a = {k: 3 copies, k<100}; b = {k: 2 copies, 50<=k<150} →
+        true Σ f_a·f_b = 50·3·2 = 300. The estimate must satisfy
+        true ≤ est ≤ true + (e/w)·|a|·|b|."""
+        import numpy as np
+        from gostatix_spark.query import cms_inner_product
+        d, w = 7, 2719
+        a = spark.range(100).withColumn(
+            "x", F.explode(F.array(*[F.lit(i) for i in range(3)]))) \
+            .select(F.col("id").alias("k"))
+        b = spark.range(50, 150).withColumn(
+            "x", F.explode(F.array(*[F.lit(i) for i in range(2)]))) \
+            .select(F.col("id").alias("k"))
+        sa = sketch_agg(a, "cms", "k", element="int64", d=d, w=w)
+        sb = sketch_agg(b, "cms", "k", element="int64", d=d, w=w)
+        est = cms_inner_product(sa, sb).collect()[0]["est_join_size"]
+        true = 300
+        assert true <= est <= true + (np.e / w) * 300 * 200, est
+
+    def test_dim_mismatch_raises(self, spark):
+        from gostatix_spark.query import cms_inner_product
+        sa = sketch_agg(spark.range(10), "cms", "id", element="int64",
+                        d=5, w=271)
+        sb = sketch_agg(spark.range(10), "cms", "id", element="int64",
+                        d=5, w=547)
+        import pytest as _pt
+        with _pt.raises(Exception):
+            cms_inner_product(sa, sb).collect()
+
+
 class TestBloomCardinality:
     def test_fill_estimate_ignores_duplicate_inserts(self, spark):
         """bloom_cardinality recovers the DISTINCT count from the
