@@ -470,6 +470,16 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size-100 deterministic uniform sample of documents
+    (sampling.reservoir_sample — k smallest md5 priorities;
+    TakeOrderedAndProject, no global sort). The oracle recomputes the
+    identical ORDER BY md5 LIMIT, so the sample is checked row-exact."""
+    docs = _read(spark, sf_dir, "documents")
+    return (sampling.reservoir_sample(docs, "doc_id", 100)
+            .select("doc_id", "source"))
+
+
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sharding in the at-scale shape: 16 hash-prefix
     partitions, per-partition deterministic order + running-token
@@ -595,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "mixture_sample": q_mixture_sample,
         "token_shards": q_token_shards,
+        "reservoir_sample": q_reservoir_sample,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "ann_bruteforce": q_ann_bruteforce,
@@ -772,6 +783,10 @@ def oracle_sql() -> dict[str, str]:
             "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
             " / 1000) AS INT) AS shard"
             " FROM t"),
+        "reservoir_sample": (
+            "SELECT doc_id, source FROM documents"
+            " ORDER BY md5(CAST(doc_id AS VARCHAR) || 'reservoir')"
+            " LIMIT 100"),
         "mixture_sample": (
             "SELECT doc_id, source FROM documents WHERE "
             + " OR ".join(

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["hash_uniform_hex", "hex_threshold", "deterministic_sample",
            "assign_split", "stratified_sample", "deterministic_order",
-           "token_shards"]
+           "reservoir_sample", "token_shards"]
 
 _HEX_SPACE = 16 ** 8  # first 8 md5 hex chars ⇒ 2^32 buckets
 
@@ -119,6 +119,20 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
                           F.lit(True))
     expr = base if expr is None else expr | (unlisted & base)
     return df.where(expr)
+
+
+def reservoir_sample(df: DataFrame, id_col: str, k: int,
+                     salt: str = "reservoir") -> DataFrame:
+    """EXACT-size uniform sample: the k rows with the smallest
+    ``md5(id ∥ salt)`` priority — the deterministic equivalent of a
+    distributed reservoir (every size-k subset equally likely under
+    the hash's uniformity, same k rows on any cluster/retry/engine).
+    Spark executes ``ORDER BY priority LIMIT k`` as
+    TakeOrderedAndProject: a per-partition top-k then a driver-side
+    k-merge — no global sort, no full shuffle."""
+    pri = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return (df.withColumn("_pri", pri)
+            .orderBy("_pri").limit(k).drop("_pri"))
 
 
 def token_shards(df: DataFrame, id_col: str, tok_col: str,

@@ -136,3 +136,14 @@ def test_token_shards_partitioned_window_single_exchange(spark):
     assert "hashpartitioning" in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_reservoir_sample_take_ordered_no_global_sort(spark):
+    """reservoir_sample must compile to TakeOrderedAndProject
+    (per-partition top-k + driver k-merge), never a global Sort+
+    Exchange(rangepartitioning)."""
+    from gostatix_spark import sampling
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(sampling.reservoir_sample(docs, "doc_id", 100))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan

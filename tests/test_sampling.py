@@ -127,6 +127,20 @@ class TestSampling:
         for r in rows:
             assert again[r["doc_id"]] == (r["part"], r["shard"])
 
+    def test_reservoir_sample_exact_k_and_stable(self, docs):
+        got = {r["doc_id"] for r in
+               sampling.reservoir_sample(docs, "doc_id", 50).collect()}
+        assert len(got) == 50
+        # stable under input reordering and repartitioning
+        again = {r["doc_id"] for r in sampling.reservoir_sample(
+            docs.orderBy(F.desc("doc_id")).repartition(7),
+            "doc_id", 50).collect()}
+        assert got == again
+        # growing k keeps the smaller sample as a prefix
+        bigger = {r["doc_id"] for r in
+                  sampling.reservoir_sample(docs, "doc_id", 80).collect()}
+        assert got <= bigger
+
     def test_deterministic_order_is_input_order_free(self, docs):
         a = [r["doc_id"] for r in
              sampling.deterministic_order(docs, "doc_id")
