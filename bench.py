@@ -228,8 +228,11 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
         # converges from above as sessions land in quiet windows (its
         # walls only descend under additive noise), so extra pairs buy
         # convergence, never inflation
+        # 2400 s: tonight's converged execution needed 2565 s of
+        # sessions across 5 pairs; 1800 s kept dying one pair short
+        # (suite + corpus gen + 2400 s stays well under an hour)
         budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC",
-                                      "1800"))
+                                      "2400"))
         min_pairs = max(2, reps)
         max_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_PAIRS", "8"))
         lo_, hi_ = pair
