@@ -83,8 +83,9 @@ def hll_intersect_pairs(states: DataFrame, key_col: str,
     composition the mergeable design buys for free; the reference has
     no set algebra beyond merge, ``hyperloglog.go:103-112``).
 
-    Output: ``[key_a, key_b, est_a, est_b, est_union, est_intersect]``
-    for every unordered key pair. Error: each term carries the
+    Output: ``[key_a, key_b, est_a, est_b, est_union, est_intersect,
+    est_jaccard]`` for every unordered key pair (``est_jaccard`` =
+    intersect/union — the sketch-level set-similarity signal). Error: each term carries the
     standard 1.04/√m relative error; RSS-combining gives
     ``σ_∩ ≈ (1.04/√m)·sqrt(|A|² + |B|² + |A∪B|²)`` — small-overlap
     pairs have large RELATIVE error (inclusion–exclusion's known
@@ -119,7 +120,11 @@ def hll_intersect_pairs(states: DataFrame, key_col: str,
     return (a.join(b, F.col("key_a") < F.col("key_b"))
             .withColumn("_e", est("_sa", "_sb"))
             .select("key_a", "key_b", "_e.est_a", "_e.est_b",
-                    "_e.est_union", "_e.est_intersect"))
+                    "_e.est_union", "_e.est_intersect")
+            .withColumn("est_jaccard",
+                        F.when(F.col("est_union") > 0,
+                               F.col("est_intersect")
+                               / F.col("est_union")).otherwise(F.lit(0.0))))
 
 
 def topk_values(states: DataFrame, out_elem: str = "element",

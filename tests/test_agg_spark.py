@@ -65,6 +65,8 @@ class TestHLLAgg:
                            + r["est_union"] ** 2) ** 0.5
             assert r["est_intersect"] == \
                 r["est_a"] + r["est_b"] - r["est_union"]
+            assert r["est_jaccard"] == pytest.approx(
+                r["est_intersect"] / r["est_union"])
             assert abs(r["est_intersect"] - true) <= 3 * sigma, \
                 (r, true, sigma)
 
