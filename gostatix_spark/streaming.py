@@ -60,23 +60,86 @@ from gostatix_spark.agg import _Spec, _build_partials, _merge_partials, \
     infer_element
 
 __all__ = ["incremental_sketch_sink", "sketch_stream_query",
-           "load_sketch_state"]
+           "load_sketch_state", "PointerStore", "LocalPointerStore",
+           "pointer_store_for"]
 
 
-def _read_pointer(state_path: str) -> dict | None:
-    try:
-        with open(os.path.join(state_path, "_LATEST")) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return None
+class PointerStore:
+    """The commit protocol's ONLY storage-dependent piece: read the
+    ``_LATEST`` pointer and conditionally flip it. Everything else
+    (versioned bucket dirs, manifests, retention) is plain parquet
+    writes that any Spark-supported filesystem already handles.
+
+    ``commit(ptr, expected_version)`` must be a COMPARE-AND-SWAP: it
+    installs ``ptr`` only if the currently-committed pointer's version
+    equals ``expected_version`` (None = no pointer yet), else raises
+    :class:`ConcurrentCommitError`. On S3 this maps to a conditional
+    PUT (``If-Match``/``If-None-Match``, supported since 2024); on GCS
+    to a generation-match precondition; on HDFS/POSIX to an atomic
+    rename under a lock. A plain blind overwrite is NOT a valid
+    implementation — two concurrent streaming queries would silently
+    clobber each other's manifests."""
+
+    def read(self) -> dict | None:
+        raise NotImplementedError
+
+    def commit(self, ptr: dict, expected_version: int | None) -> None:
+        raise NotImplementedError
 
 
-def _write_pointer(state_path: str, ptr: dict) -> None:
-    os.makedirs(state_path, exist_ok=True)
-    tmp = os.path.join(state_path, "._LATEST.tmp")
-    with open(tmp, "w") as f:
-        json.dump(ptr, f)
-    os.replace(tmp, os.path.join(state_path, "_LATEST"))  # atomic flip
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed since this sink read the pointer."""
+
+
+class LocalPointerStore(PointerStore):
+    """POSIX/local-filesystem implementation: tmp-file + ``os.replace``
+    for atomic visibility, an ``fcntl`` lock file to make the
+    read-compare-replace sequence a true single-host CAS."""
+
+    def __init__(self, state_path: str):
+        self.state_path = state_path
+
+    def read(self) -> dict | None:
+        try:
+            with open(os.path.join(self.state_path, "_LATEST")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def commit(self, ptr: dict, expected_version: int | None) -> None:
+        import fcntl
+        os.makedirs(self.state_path, exist_ok=True)
+        lock_path = os.path.join(self.state_path, "._LATEST.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            cur = self.read()
+            cur_version = cur["version"] if cur else None
+            if cur_version != expected_version:
+                raise ConcurrentCommitError(
+                    f"pointer at {self.state_path!r} moved to version"
+                    f" {cur_version} (expected {expected_version}) — another"
+                    " writer is committing to this state_path")
+            tmp = os.path.join(self.state_path, "._LATEST.tmp")
+            with open(tmp, "w") as f:
+                json.dump(ptr, f)
+            os.replace(tmp, os.path.join(self.state_path, "_LATEST"))
+
+
+def pointer_store_for(state_path: str) -> PointerStore:
+    """Pick the pointer-store implementation for a state path. Local
+    paths (no scheme, or ``file:``) get :class:`LocalPointerStore`;
+    object-store schemes fail LOUDLY with the porting contract instead
+    of corrupting state via a non-atomic driver-side write."""
+    scheme = state_path.split("://", 1)[0] if "://" in state_path else ""
+    if scheme in ("", "file"):
+        return LocalPointerStore(state_path.split("://", 1)[-1])
+    raise ValueError(
+        f"no PointerStore for scheme {scheme!r} ({state_path!r}). The"
+        " bucket/manifest layout already works on any Spark filesystem,"
+        " but the _LATEST pointer flip needs a conditional-put"
+        " implementation for this store (S3: If-Match PUT; GCS:"
+        " generation-match) — subclass PointerStore and pass it as"
+        " pointer_store=.")
 
 
 def _bucket_col(key_col: str | None, n_buckets: int):
@@ -87,14 +150,28 @@ def _bucket_col(key_col: str | None, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
-def load_sketch_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+def _check_pointer_shape(ptr: dict, state_path: str) -> None:
+    if "buckets" not in ptr:
+        raise ValueError(
+            f"state pointer at {state_path!r} has no bucket manifest — it"
+            " predates the bucketed state layout (pre-round-3 full-rewrite"
+            " sink). Rebuild the state (replay the stream into a fresh"
+            " state_path) or migrate by writing a manifest mapping each"
+            " kb=<b> dir of the last version to that version.")
+
+
+def load_sketch_state(spark: SparkSession, state_path: str,
+                      pointer_store: PointerStore | None = None
+                      ) -> DataFrame | None:
     """The committed sketch table ``[key?, state, n_items, n_partials]``
     (or None before the first commit). Follows the ``_LATEST``
     manifest, so it unions each bucket's LAST-written directory —
     never a half-written one."""
-    ptr = _read_pointer(state_path)
+    store = pointer_store or pointer_store_for(state_path)
+    ptr = store.read()
     if ptr is None:
         return None
+    _check_pointer_shape(ptr, state_path)
     paths = sorted({os.path.join(state_path, rel)
                     for rel in ptr["buckets"].values()})
     if not paths:
@@ -109,6 +186,7 @@ def incremental_sketch_sink(kind: str, value_col: str, state_path: str, *,
                             n_state_buckets: int = 32,
                             keep_versions: int = 2,
                             replay_scope: str | None = None,
+                            pointer_store: PointerStore | None = None,
                             **sketch_params):
     """Returns a ``foreachBatch`` function maintaining one sketch per
     key under ``state_path`` (bucket-partitioned versioned dirs +
@@ -122,10 +200,27 @@ def incremental_sketch_sink(kind: str, value_col: str, state_path: str, *,
     ``v=<n+1>``; flip the manifest pointer; prune version dirs that are
     old AND no longer referenced.
     """
+    store = pointer_store or pointer_store_for(state_path)
+
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ptr = _read_pointer(state_path)
+        ptr = store.read()
         version = ptr["version"] if ptr else None
+        if ptr is not None:
+            _check_pointer_shape(ptr, state_path)
+            if ptr.get("n_state_buckets") != n_state_buckets:
+                # the key→bucket mapping is pmod(hash, n_state_buckets):
+                # restarting with a different bucket count would read a
+                # key's state from the WRONG (empty) bucket, start a
+                # fresh sketch there, and leave load_sketch_state
+                # returning duplicate rows per key — fail loudly instead
+                raise ValueError(
+                    f"state at {state_path!r} was committed with"
+                    f" n_state_buckets={ptr.get('n_state_buckets')}, but"
+                    f" this sink was configured with {n_state_buckets}."
+                    " The bucket count is baked into the key→bucket"
+                    " mapping; restart with the committed value (or"
+                    " rebuild the state at the new bucket count).")
         if ptr is not None and batch_id <= ptr["batch_id"]:
             if replay_scope == ptr.get("replay_scope"):
                 return  # at-least-once replay of an already-folded batch
@@ -176,10 +271,13 @@ def incremental_sketch_sink(kind: str, value_col: str, state_path: str, *,
                 partials.unpersist()
         for b in touched:
             manifest[str(b)] = f"v={new_version}/kb={b}"
-        _write_pointer(state_path, {
+        # conditional commit: installs the new manifest only if no other
+        # writer moved the pointer since this batch read it
+        store.commit({
             "version": new_version, "batch_id": batch_id,
             "replay_scope": replay_scope,
-            "n_state_buckets": n_state_buckets, "buckets": manifest})
+            "n_state_buckets": n_state_buckets, "buckets": manifest},
+            expected_version=version)
         # retention: drop version dirs outside the keep window that no
         # manifest entry references (the pointer already moved, so
         # readers can't land on them)
@@ -202,7 +300,9 @@ def sketch_stream_query(stream_df: DataFrame, kind: str, value_col: str,
                         merge_buckets: int | None = None,
                         n_state_buckets: int = 32,
                         trigger_available_now: bool = True,
-                        checkpoint_dir: str | None = None, **sketch_params):
+                        checkpoint_dir: str | None = None,
+                        pointer_store: PointerStore | None = None,
+                        **sketch_params):
     """Launch the streaming query. With ``trigger_available_now`` the
     query drains all available input and stops — the batch-equivalence
     test mode; without it, it runs continuously. The checkpoint
@@ -215,6 +315,7 @@ def sketch_stream_query(stream_df: DataFrame, kind: str, value_col: str,
                                    merge_buckets=merge_buckets,
                                    n_state_buckets=n_state_buckets,
                                    replay_scope=os.path.abspath(checkpoint_dir),
+                                   pointer_store=pointer_store,
                                    **sketch_params)
     writer = (stream_df.writeStream
               .foreachBatch(sink)

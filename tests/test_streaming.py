@@ -161,3 +161,107 @@ def test_commit_is_versioned_and_pruned(spark):
         assert versions == ["v=3", "v=4"]  # keep_versions=2
         est = load_sketch_state(spark, state).collect()[0]
         assert est["n_items"] == 4
+
+
+def test_restart_with_different_bucket_count_fails_loudly(spark):
+    """n_state_buckets is baked into the key→bucket mapping; a restart
+    with a different count would read keys from the wrong (empty)
+    bucket and duplicate their state — the sink must refuse (ADVICE
+    round-3)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        state = f"{tmp}/state"
+        batch = spark.createDataFrame([("a", 1)], "k string, v long")
+        sink16 = incremental_sketch_sink("hll", "v", state, key_col="k",
+                                         m=64, n_state_buckets=16)
+        sink16(batch, 0)
+        sink8 = incremental_sketch_sink("hll", "v", state, key_col="k",
+                                        m=64, n_state_buckets=8)
+        with pytest.raises(ValueError, match="n_state_buckets=16"):
+            sink8(batch, 1)
+
+
+def test_legacy_pointer_shape_fails_with_actionable_message(spark):
+    """A pre-manifest _LATEST (no 'buckets' key) must raise a ValueError
+    explaining the state predates the bucketed layout — not a bare
+    KeyError (ADVICE round-3)."""
+    import json
+    import os
+    with tempfile.TemporaryDirectory() as tmp:
+        state = f"{tmp}/state"
+        os.makedirs(state)
+        with open(f"{state}/_LATEST", "w") as f:
+            json.dump({"version": 3, "batch_id": 7}, f)
+        with pytest.raises(ValueError, match="bucketed state layout"):
+            load_sketch_state(spark, state)
+        sink = incremental_sketch_sink("hll", "item", state,
+                                       element="string", m=64)
+        batch = spark.createDataFrame([("a",)], "item string")
+        with pytest.raises(ValueError, match="bucketed state layout"):
+            sink(batch, 99)
+
+
+class _MemStore:
+    """Mock object store with compare-and-swap commit semantics — the
+    contract a real S3 conditional-put / GCS generation-match
+    implementation must satisfy."""
+
+    def __init__(self):
+        self.ptr = None
+        self.commits = 0
+
+    def read(self):
+        return None if self.ptr is None else dict(self.ptr)
+
+    def commit(self, ptr, expected_version):
+        from gostatix_spark.streaming import ConcurrentCommitError
+        cur = None if self.ptr is None else self.ptr["version"]
+        if cur != expected_version:
+            raise ConcurrentCommitError(f"{cur} != {expected_version}")
+        self.ptr = dict(ptr)
+        self.commits += 1
+
+
+def test_commit_protocol_against_mock_object_store(spark):
+    """The sink drives any PointerStore through the same CAS protocol:
+    commits advance the mock store's pointer, a replay is skipped
+    without a commit, and state reads follow the mock's manifest."""
+    with tempfile.TemporaryDirectory() as tmp:
+        state = f"{tmp}/state"
+        store = _MemStore()
+        batch = spark.createDataFrame(
+            [("a",)] * 4 + [("b",)] * 2, "item string")
+        sink = incremental_sketch_sink("cms", "item", state,
+                                       element="string", d=3, w=64,
+                                       pointer_store=store)
+        sink(batch, 0)
+        assert store.commits == 1 and store.ptr["version"] == 1
+        sink(batch, 0)  # replay → skip, no commit
+        assert store.commits == 1
+        sink(batch, 1)
+        assert store.commits == 2 and store.ptr["version"] == 2
+        st = sketch_from_bytes(bytes(
+            load_sketch_state(spark, state,
+                              pointer_store=store).collect()[0]["state"]))
+        assert st.all_sum == 12
+
+
+def test_concurrent_commit_detected(spark):
+    """If another writer moves the pointer between this sink's read and
+    its commit, the CAS refuses instead of clobbering the manifest."""
+    from gostatix_spark.streaming import (ConcurrentCommitError,
+                                          LocalPointerStore)
+    with tempfile.TemporaryDirectory() as tmp:
+        store = LocalPointerStore(f"{tmp}/state")
+        store.commit({"version": 1, "batch_id": 0,
+                      "n_state_buckets": 32, "buckets": {}},
+                     expected_version=None)
+        with pytest.raises(ConcurrentCommitError):
+            store.commit({"version": 2, "batch_id": 1,
+                          "n_state_buckets": 32, "buckets": {}},
+                         expected_version=None)  # stale read
+
+
+def test_object_store_scheme_fails_loudly():
+    from gostatix_spark.streaming import pointer_store_for
+    with pytest.raises(ValueError, match="conditional-put"):
+        pointer_store_for("s3://bucket/state")
