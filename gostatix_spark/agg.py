@@ -235,7 +235,8 @@ class _Spec:
             return _Spec(kind, "metro", {"k": p.get("k", 10), "d": d, "w": w,
                                          "slack": p.get("slack", 4),
                                          "eps": p.get("eps", 0.0001),
-                                         "fail_prob": p.get("fail_prob", 0.01)})
+                                         "fail_prob": p.get("fail_prob", 0.01),
+                                         "max_distinct": p.get("max_distinct")})
         if kind == "tdigest":
             return _Spec(kind, "metro", {"delta": p.get("delta", 200.0)})
         if kind == "kll":
@@ -256,10 +257,18 @@ class _Spec:
             return [bloom.new_state(p["m"]), 0]
         if self.kind == "topk":
             if self.element in ("tokens", "int32", "int64"):
-                return [topk.IntCounts(), 0]
-            if self.element in ("string", "binary"):
-                return [topk.BytesCounts(), 0]
-            return [Counter(), 0]  # token_array rows
+                inner = topk.IntCounts()
+            elif self.element in ("string", "binary"):
+                inner = topk.BytesCounts()
+            else:
+                return [Counter(), 0]  # token_array rows (vocab-sized)
+            cap = p.get("max_distinct")
+            if cap:
+                # near-unique columns: bound phase-1 memory to O(cap)
+                # per partition — tail counts spill into the CMS
+                inner = topk.CappedCounts(inner, cap, self.element,
+                                          p["d"], p["w"])
+            return [inner, 0]
         if self.kind == "tdigest":
             m, w = tdigest.new_state()
             return [m, w, 0]
@@ -298,7 +307,10 @@ class _Spec:
         if self.kind == "bloom":
             return BloomState(p["m"], p["k"], acc[0], acc[1]).to_bytes(), acc[1]
         if self.kind == "topk":
-            if isinstance(acc[0], topk.IntCounts):
+            if isinstance(acc[0], topk.CappedCounts):
+                mat, total, cand = acc[0].finalize(
+                    p["k"], p["slack"], p["d"], p["w"])
+            elif isinstance(acc[0], topk.IntCounts):
                 mat, total, cand = topk.partial_from_int_counts(
                     acc[0], self.element, p["k"], p["slack"], p["d"], p["w"])
             else:
@@ -577,10 +589,19 @@ def sketch_agg(df: DataFrame, kind: str, value_col: str, *,
     Returns ``DataFrame[key?, state binary, n_items, n_partials]``.
 
     kinds: ``hll`` (m), ``cms`` (d,w | eps,delta | eps,fail_prob),
-    ``bloom`` (m,k | n,eps), ``topk`` (k, eps, fail_prob, slack).
+    ``bloom`` (m,k | n,eps), ``topk`` (k, eps, fail_prob, slack,
+    max_distinct).
     element kinds: ``tokens`` (flatten array<int>), ``token_array``
     (whole array per row), ``int32``/``int64``/``string``/``binary``
     (inferred from the column type when omitted).
+
+    ``topk`` + ``max_distinct=N``: bound phase-1 memory to O(N) per
+    partition for near-unique element columns (URLs/doc ids at 10⁹
+    rows) — when a partition tracks more than N distinct elements the
+    count tail is compacted into the partial's CMS (see
+    ``kernels.topk.CappedCounts``). Capped builds must be read with
+    ``topk_values(exact=False)`` (the reference's CMS-estimate
+    semantics); the ``exact=True`` fast path assumes uncapped counts.
     """
     element = infer_element(df, value_col, element)
     spec = _Spec.make(kind, **sketch_params)

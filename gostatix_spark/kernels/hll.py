@@ -146,3 +146,23 @@ def count(registers: np.ndarray, with_correction: bool = True,
     if with_rounding:
         est = round(est)
     return int(est)
+
+
+def count_many(regs: np.ndarray, linear_counting: bool = True) -> np.ndarray:
+    """Vectorized :func:`count` over a (n_sketches, m) register stack —
+    one numpy pass for n estimates instead of n Python-loop calls
+    (same corrections, same rounding). The batched set-algebra path
+    (``query.hll_intersect_pairs``) estimates 3 stacks per pair batch
+    with this."""
+    n, m = regs.shape
+    harmonic = np.exp2(-regs.astype(np.float64)).sum(axis=1)
+    est = hll_alpha(m) * m * m / harmonic
+    if linear_counting:
+        zeros = (regs == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        if small.any():
+            est[small] = m * np.log(m / zeros[small])
+    large = est > TWO_POW_32 / 30
+    if large.any():
+        est[large] = -TWO_POW_32 * np.log1p(-est[large] / TWO_POW_32)
+    return np.rint(est).astype(np.int64)

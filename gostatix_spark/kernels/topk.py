@@ -149,31 +149,121 @@ class BytesCounts:
         return items if n is None else items[:n]
 
 
+def _hash_int_elems(uniq: np.ndarray, element: str):
+    from gostatix_spark import hashing
+    if element == "int64":
+        return hashing.hash_int64s(uniq, "metro")
+    return hashing.hash_tokens(uniq, "metro")  # tokens / int32
+
+
+class CappedCounts:
+    """Phase-1 memory bound for near-unique element columns (URLs, doc
+    ids at 10⁹ rows): wraps :class:`IntCounts` / :class:`BytesCounts`
+    and, whenever the tracked-distinct count crosses ``cap``, COMPACTS —
+    the current top ``cap//2`` elements keep their exact counts, the
+    tail is flushed into the partial's CMS (the same matrix the
+    finalize step seeds) and dropped. Per-partition memory is thereby
+    O(cap), independent of the column's distinct count.
+
+    Heavy-hitter correctness: a true heavy hitter's running count
+    dominates every compaction's threshold once seen often enough, so
+    it survives in the exact set (and if an early prefix of it was
+    flushed, the final re-estimation against the merged CMS — which
+    contains every flushed count — still reports it within the ε·N
+    bound). What the cap costs is the ``exact=True`` fast path: a
+    flushed-then-reappearing element's candidate count is no longer
+    its full exact count, so capped builds must re-estimate through
+    the CMS (``topk_values(exact=False)``, the reference semantics)."""
+
+    __slots__ = ("inner", "cap", "keep", "element", "matrix",
+                 "flushed_total", "compactions")
+
+    def __init__(self, inner, cap: int, element: str, d: int, w: int):
+        if cap < 2:
+            raise ValueError("max_distinct cap must be >= 2")
+        self.inner = inner
+        self.cap = cap
+        self.keep = max(1, cap // 2)
+        self.element = element
+        self.matrix = cms.new_state(d, w)
+        self.flushed_total = 0
+        self.compactions = 0
+
+    def _n_distinct(self) -> int:
+        return len(self.inner.uniq) if isinstance(self.inner, IntCounts) \
+            else len(self.inner.d)
+
+    def update(self, values) -> None:
+        self.inner.update(values)
+        if self._n_distinct() > self.cap:
+            self._compact()
+
+    def _compact(self) -> None:
+        self.compactions += 1
+        if isinstance(self.inner, IntCounts):
+            ic = self.inner
+            keep_idx = np.argpartition(-ic.counts, self.keep - 1)[:self.keep]
+            flush = np.ones(len(ic.uniq), dtype=bool)
+            flush[keep_idx] = False
+            h1, h2 = _hash_int_elems(ic.uniq[flush], self.element)
+            fc = ic.counts[flush]
+            cms.update_batch(self.matrix, h1, h2, fc.astype(np.uint64))
+            self.flushed_total += int(fc.sum())
+            order = np.sort(keep_idx)  # keep uniq ascending (class invariant)
+            ic.uniq, ic.counts = ic.uniq[order], ic.counts[order]
+        else:
+            bc = self.inner
+            survivors = dict(bc.most_common(self.keep))
+            flushed = [(e, c) for e, c in bc.d.items() if e not in survivors]
+            if flushed:
+                from gostatix_spark import hashing
+                elems = [e for e, _ in flushed]
+                counts = np.fromiter((c for _, c in flushed),
+                                     dtype=np.uint64, count=len(flushed))
+                h1, h2 = hashing.hash_bytes_batch(elems, "metro")
+                cms.update_batch(self.matrix, h1, h2, counts)
+                self.flushed_total += int(counts.sum())
+            bc.d = survivors
+
+    def finalize(self, k: int, slack: int, d: int, w: int):
+        """(matrix, total, candidates) with the spill matrix as the
+        CMS seed — flushed counts and surviving exact counts land in
+        ONE matrix, so the partial's CMS still counts every element."""
+        if isinstance(self.inner, IntCounts):
+            mat, total, cand = partial_from_int_counts(
+                self.inner, self.element, k, slack, d, w,
+                matrix=self.matrix)
+        else:
+            mat, total, cand = partial_from_counter(
+                self.inner, k, slack, d, w, matrix=self.matrix)
+        return mat, total + self.flushed_total, cand
+
+
 def partial_from_int_counts(ic: IntCounts, element: str, k: int, slack: int,
-                            d: int, w: int):
+                            d: int, w: int, matrix: np.ndarray | None = None):
     """Phase-1 finalize for integer elements: CMS update over ALL
     distinct values (hashed vectorized under the canonical encoding —
-    no bytes round-trip) + top k·slack exact candidates as bytes."""
-    from gostatix_spark import hashing
+    no bytes round-trip) + top k·slack exact candidates as bytes.
+    ``matrix`` seeds the CMS (a capped accumulator's spill matrix)."""
     from gostatix_spark.agg import encode_candidate
 
-    matrix = cms.new_state(d, w)
+    if matrix is None:
+        matrix = cms.new_state(d, w)
     total = int(ic.counts.sum())
     if len(ic.uniq):
-        if element == "int64":
-            h1, h2 = hashing.hash_int64s(ic.uniq, "metro")
-        else:  # tokens / int32
-            h1, h2 = hashing.hash_tokens(ic.uniq, "metro")
+        h1, h2 = _hash_int_elems(ic.uniq, element)
         cms.update_batch(matrix, h1, h2, ic.counts.astype(np.uint64))
     cand = {encode_candidate(v, element): c for v, c in ic.top(k * slack)}
     return matrix, total, cand
 
 
 def partial_from_counter(counter: Counter, k: int, slack: int,
-                         d: int, w: int) -> tuple[np.ndarray, int, dict[bytes, int]]:
+                         d: int, w: int, matrix: np.ndarray | None = None
+                         ) -> tuple[np.ndarray, int, dict[bytes, int]]:
     """Build a partition-local partial: CMS over the exact counts plus
     the top k·slack elements by exact local count as candidates."""
-    matrix = cms.new_state(d, w)
+    if matrix is None:
+        matrix = cms.new_state(d, w)
     elems = list(counter.keys())
     counts = np.fromiter(counter.values(), dtype=np.uint64, count=len(elems))
     if elems:

@@ -76,7 +76,8 @@ def hll_estimate(states: DataFrame, out_col: str = "est_distinct",
 
 
 def hll_intersect_pairs(states: DataFrame, key_col: str,
-                        linear_counting: bool = True) -> DataFrame:
+                        linear_counting: bool = True,
+                        pairs: DataFrame | None = None) -> DataFrame:
     """Pairwise distinct-intersection estimates between keyed HLL
     sketches by inclusion–exclusion: ``|A∩B| ≈ |A| + |B| − |A∪B|``,
     where the union sketch is the registerwise max (the ⊕-merge — the
@@ -84,15 +85,25 @@ def hll_intersect_pairs(states: DataFrame, key_col: str,
     no set algebra beyond merge, ``hyperloglog.go:103-112``).
 
     Output: ``[key_a, key_b, est_a, est_b, est_union, est_intersect,
-    est_jaccard]`` for every unordered key pair (``est_jaccard`` =
-    intersect/union — the sketch-level set-similarity signal). Error: each term carries the
+    est_jaccard]`` (``est_jaccard`` = intersect/union — the
+    sketch-level set-similarity signal). Error: each term carries the
     standard 1.04/√m relative error; RSS-combining gives
     ``σ_∩ ≈ (1.04/√m)·sqrt(|A|² + |B|² + |A∪B|²)`` — small-overlap
     pairs have large RELATIVE error (inclusion–exclusion's known
     weakness); gate accordingly (see q:hll_intersect_gate).
 
-    The pair join is states×states — tiny (one KB-row per key), never
-    data-sized."""
+    **Pair selection — the scale knob.** With ``pairs=None`` the
+    default compares EVERY unordered key pair: a states×states
+    non-equi join (BroadcastNestedLoopJoin) — K²/2 pairs of KB blobs.
+    Fine for handfuls of keys (event types); quadratic by construction
+    at windowed-key scale (10⁴ keys ⇒ 5·10⁷ register merges). For that
+    regime pass ``pairs`` — a ``[key_a, key_b]`` DataFrame naming the
+    pairs to score (candidate pairs from an LSH pass, adjacent
+    windows, a top-k key subset…): the work becomes two equi-joins +
+    O(|pairs|) register math, shuffling only the requested rows.
+
+    Register math is vectorized per Arrow batch (stacked registers →
+    one ``np.maximum`` + one ``hll.count_many`` pass per term)."""
     a = states.select(F.col(key_col).alias("key_a"),
                       F.col("state").alias("_sa"))
     b = states.select(F.col(key_col).alias("key_b"),
@@ -104,20 +115,24 @@ def hll_intersect_pairs(states: DataFrame, key_col: str,
 
     @F.pandas_udf(out_t)
     def est(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
-        rows = []
-        for x, y in zip(sa, sb):
-            ra = sketch_from_bytes(bytes(x)).registers
-            rb = sketch_from_bytes(bytes(y)).registers
-            na = hll.count(ra, linear_counting=linear_counting)
-            nb = hll.count(rb, linear_counting=linear_counting)
-            nu = hll.count(hll.merge(ra, rb),
-                           linear_counting=linear_counting)
-            rows.append((int(na), int(nb), int(nu),
-                         int(na + nb - nu)))
-        return pd.DataFrame(rows, columns=["est_a", "est_b",
-                                           "est_union", "est_intersect"])
+        if not len(sa):
+            return pd.DataFrame(columns=["est_a", "est_b", "est_union",
+                                         "est_intersect"], dtype="int64")
+        ra = np.stack([sketch_from_bytes(bytes(x)).registers for x in sa])
+        rb = np.stack([sketch_from_bytes(bytes(y)).registers for y in sb])
+        na = hll.count_many(ra, linear_counting=linear_counting)
+        nb = hll.count_many(rb, linear_counting=linear_counting)
+        nu = hll.count_many(np.maximum(ra, rb),
+                            linear_counting=linear_counting)
+        return pd.DataFrame({"est_a": na, "est_b": nb, "est_union": nu,
+                             "est_intersect": na + nb - nu})
 
-    return (a.join(b, F.col("key_a") < F.col("key_b"))
+    if pairs is not None:
+        joined = pairs.select("key_a", "key_b").join(a, "key_a") \
+                      .join(b, "key_b")
+    else:
+        joined = a.join(b, F.col("key_a") < F.col("key_b"))
+    return (joined
             .withColumn("_e", est("_sa", "_sb"))
             .select("key_a", "key_b", "_e.est_a", "_e.est_b",
                     "_e.est_union", "_e.est_intersect")

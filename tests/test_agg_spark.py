@@ -70,6 +70,30 @@ class TestHLLAgg:
             assert abs(r["est_intersect"] - true) <= 3 * sigma, \
                 (r, true, sigma)
 
+    def test_intersect_pairs_explicit_subset(self, spark):
+        """The scale path: an explicit [key_a, key_b] pairs DataFrame
+        replaces the K² all-pairs join — output must contain exactly
+        the requested pairs, with values identical to the all-pairs
+        run (same sketches, same math)."""
+        from gostatix_spark.query import hll_intersect_pairs
+        df = None
+        for g, (lo, hi) in {"g0": (0, 8000), "g1": (4000, 12000),
+                            "g2": (10000, 18000)}.items():
+            part = spark.range(lo, hi).select(
+                F.lit(g).alias("grp"), F.col("id").alias("uid"))
+            df = part if df is None else df.unionByName(part)
+        states = sketch_agg(df, "hll", "uid", key_col="grp", m=1024)
+        all_rows = {(r["key_a"], r["key_b"]): r.asDict()
+                    for r in hll_intersect_pairs(states, "grp").collect()}
+        pairs = spark.createDataFrame([("g0", "g1"), ("g1", "g2")],
+                                      "key_a string, key_b string")
+        sub = {(r["key_a"], r["key_b"]): r.asDict()
+               for r in hll_intersect_pairs(states, "grp",
+                                            pairs=pairs).collect()}
+        assert set(sub) == {("g0", "g1"), ("g1", "g2")}
+        for k, row in sub.items():
+            assert row == all_rows[k], k
+
     def test_partition_invariance_bytewise(self, spark, corpus):
         blobs = []
         for nparts in (1, 4, 8):
@@ -233,6 +257,31 @@ class TestTopKAgg:
                     .where("rn <= 2").collect())
         for r in oracle_k:
             assert got_k[(r["source"], r["rn"])] == r["doc_id"]
+
+    def test_max_distinct_cap_matches_uncapped_topk(self, spark):
+        """max_distinct bounds phase-1 memory on a near-unique string
+        column (the URL/doc-id workload); the capped build's CMS-mode
+        top-k must equal the uncapped build's above the ε·N noise
+        floor."""
+        k = 10
+        # 120k near-unique ids + 15 planted heavy hitters (count ~800)
+        df = spark.range(120_000).selectExpr(
+            "CASE WHEN id % 150 < 15 THEN concat('hot', id % 150)"
+            " ELSE concat('u', id) END AS elem")
+        capped = sketch_agg(df, "topk", "elem", k=k, eps=0.0001,
+                            slack=8, max_distinct=2048)
+        plain = sketch_agg(df, "topk", "elem", k=k, eps=0.0001, slack=8)
+        got_c = [(r["element"], r["est_count"])
+                 for r in topk_values(capped, exact=False,
+                                      decode="string").orderBy("rank").collect()]
+        got_p = [(r["element"], r["est_count"])
+                 for r in topk_values(plain, exact=False,
+                                      decode="string").orderBy("rank").collect()]
+        eps_n = 0.0001 * 120_000
+        assert {e for e, _ in got_c} == {e for e, _ in got_p}
+        cp, pp = dict(got_c), dict(got_p)
+        for e in cp:
+            assert abs(cp[e] - pp[e]) <= 2 * eps_n, e
 
 
 class TestCuckooAgg:

@@ -375,3 +375,82 @@ class TestCuckoo:
         untouched = [it for it in items if bytes(it) not in removed_vals]
         h_left, _ = H.hash_bytes_batch(untouched, "murmur3")
         assert f_vec.lookup_hashes(h_left).all()
+
+
+class TestHLLCountMany:
+    def test_count_many_equals_scalar_count(self):
+        """Vectorized count over a register stack must agree with the
+        scalar count for every row, across all three estimator regimes
+        (linear-counting small range, raw mid range, large-range
+        correction) and both linear_counting modes."""
+        from gostatix_spark.kernels import hll
+        rng = np.random.default_rng(7)
+        m = 256
+        stacks = [
+            np.zeros((1, m), dtype=np.uint8),                    # all-zero
+            rng.integers(0, 2, (5, m)).astype(np.uint8),         # small
+            rng.integers(3, 9, (5, m)).astype(np.uint8),         # mid
+            rng.integers(21, 24, (5, m)).astype(np.uint8),       # large
+            rng.integers(0, 20, (8, m)).astype(np.uint8),        # mixed
+        ]
+        for regs in stacks:
+            for lc in (True, False):
+                got = hll.count_many(regs, linear_counting=lc)
+                want = np.array([hll.count(r, linear_counting=lc)
+                                 for r in regs])
+                assert (got == want).all(), (lc, got, want)
+
+
+class TestCappedTopK:
+    def _feed(self, acc, heavy_counts, n_tail, batch=65536):
+        """Heavy hitters interleaved through a long near-unique tail,
+        delivered as Arrow batches (the phase-1 ingest shape)."""
+        import pyarrow as pa
+        heavy = [f"h{j:03d}".encode() for j in range(len(heavy_counts))]
+        period = max(1, n_tail // max(1, max(heavy_counts)))
+        buf = []
+        for i in range(n_tail):
+            buf.append(b"u%d" % i)
+            for j, c in enumerate(heavy_counts):
+                if c and i % max(1, n_tail // c) == 0:
+                    buf.append(heavy[j])
+            if len(buf) >= batch:
+                acc.update(pa.array([x.decode() for x in buf]))
+                buf = []
+        if buf:
+            acc.update(pa.array([x.decode() for x in buf]))
+
+    def test_capped_equals_uncapped_above_noise_floor(self):
+        """A ≥10⁶-distinct string stream under a small fixed cap: the
+        capped build's phase-1 memory stays O(cap), and its final
+        CMS-estimated top-k equals the uncapped build's for every
+        element above the ε·N noise floor (VERDICT r3 #2)."""
+        from gostatix_spark.kernels import topk as T
+        from gostatix_spark.kernels import cms as C
+        k, slack = 20, 8
+        d, w = 7, 27183  # eps=1e-4
+        n_tail = 1_000_000
+        heavy_counts = [5000 - 137 * j for j in range(25)]
+
+        capped = T.CappedCounts(T.BytesCounts(), 4096, "string", d, w)
+        self._feed(capped, heavy_counts, n_tail)
+        assert capped.compactions > 0
+        assert len(capped.inner.d) <= 4096  # memory bound held
+        mat_c, total_c, cand_c = capped.finalize(k, slack, d, w)
+
+        plain = T.BytesCounts()
+        self._feed(plain, heavy_counts, n_tail)
+        mat_p, total_p, cand_p = T.partial_from_counter(
+            plain, k, slack, d, w)
+
+        assert total_c == total_p  # no mass lost to compaction
+        top_c = T.final_values(mat_c, cand_c, k)
+        top_p = T.final_values(mat_p, cand_p, k)
+        eps_n = 1e-4 * total_p
+        # every heavy hitter above the noise floor appears in both,
+        # with estimates within the CMS guarantee of each other
+        want = {e for e, c in top_p if c > 2 * eps_n}
+        got = dict(top_c)
+        for e in want:
+            assert e in got, e
+            assert abs(got[e] - dict(top_p)[e]) <= 2 * eps_n, e
