@@ -115,13 +115,15 @@ def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256,
 
 def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Encode REAL table content into the asset model: each row's text
-    bytes become the samples of a real media payload — even ids a
-    RIFF/WAVE 8-bit PCM file (stdlib ``wave``; opens in any audio
-    tool), odd ids a zlib ``zraw`` stream — with the sample count in
-    ``meta``. This is the encode half of a genuinely round-trippable
-    pipeline: decoding the assets must reproduce the source column
-    byte-for-byte, which puts BOTH real codec paths (WAV container
-    parse + zlib inflate) under a DuckDB oracle
+    bytes become the samples of a real media payload — ids ≡ 0 (mod 3)
+    a RIFF/WAVE 8-bit PCM file (stdlib ``wave``; opens in any audio
+    tool), ids ≡ 1 a zlib ``zraw`` stream, ids ≡ 2 a binary netpbm
+    ``P5`` image (1×len pixel row; opens in ImageMagick/GIMP) — with
+    the sample count/shape in ``meta``. This is the encode half of a
+    genuinely round-trippable pipeline: decoding the assets must
+    reproduce the source column byte-for-byte, which puts ALL THREE
+    real codec paths (WAV container parse, zlib inflate, PGM header
+    parse) under a DuckDB oracle
     (``__spark_entry__.q_multimodal_roundtrip``)."""
     def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
@@ -129,16 +131,22 @@ def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             rows = []
             for aid, t in zip(pdf[id_col], pdf[text_col]):
                 b = t.encode("utf-8")
-                if int(aid) % 2 == 0:
+                route = int(aid) % 3 if b else 1  # P5/WAV need ≥1 sample
+                meta = {"n_samples": str(len(b))}
+                if route == 0:
                     kind, codec = "audio", "wav"
                     media = _wav_bytes(np.frombuffer(b, dtype=np.uint8))
+                elif route == 2:
+                    kind, codec = "image", "pgm"
+                    media = _pgm_bytes(
+                        np.frombuffer(b, dtype=np.uint8).reshape(1, len(b)))
+                    meta = {"height": "1", "width": str(len(b))}
                 else:
                     kind, codec = "video", "zraw"
                     media = zlib.compress(b)
+                meta.update({"codec": codec, "kind": kind})
                 rows.append({"asset_id": int(aid), "kind": kind,
-                             "media": media,
-                             "meta": {"codec": codec, "kind": kind,
-                                      "n_samples": str(len(b))}})
+                             "media": media, "meta": meta})
             yield pd.DataFrame(rows)
 
     return df.select(id_col, text_col).mapInPandas(fn, ASSET_SCHEMA)
@@ -163,8 +171,10 @@ def decode_payloads(df: DataFrame) -> DataFrame:
             for aid, kind, media, meta in zip(pdf["asset_id"], pdf["kind"],
                                               pdf["media"], pdf["meta"]):
                 raw = _raw_decode(media, meta)
+                # .size, not len(): image decodes are (h, w) grids and
+                # len() would report h, not the sample count
                 rows.append({"asset_id": aid, "kind": kind,
-                             "n_samples": len(raw),
+                             "n_samples": int(raw.size),
                              "payload": raw.tobytes()})
             yield pd.DataFrame(rows)
 

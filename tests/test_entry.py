@@ -67,3 +67,19 @@ def test_rows_only_queries_run(spark, name):
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0
+
+
+def test_embedding_dedup_threshold_margin(ddb):
+    """Oracle robustness guard (ADVICE r3): q_embedding_dedup's 0.35
+    cosine threshold must sit ≥ 1e-6 away from every pair's cosine —
+    a pair inside that band could flip between Spark's
+    normalize-then-dot and DuckDB's list_cosine_similarity under
+    summation-order rounding. Fails if the synthetic corpus is ever
+    regenerated with a pair too close to the line."""
+    margin = ddb.execute("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 1200)
+        SELECT min(abs(list_cosine_similarity(a.v, b.v) - 0.35))
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    """).fetchone()[0]
+    assert margin > 1e-6, f"cosine margin {margin} too close to threshold"

@@ -317,12 +317,18 @@ class TestMultimodal:
             assert len(rows) == 6
 
     def test_text_assets_roundtrip_and_validation(self, spark):
-        """text → zraw asset → decode_payloads reproduces the source
-        bytes; corrupt n_samples metadata fails loudly."""
-        rows = [(1, "hello multimodal world"), (2, "größere zeichen ÄÖÜ"),
-                (3, "")]
+        """text → asset → decode_payloads reproduces the source bytes
+        through ALL THREE real codecs (wav/zraw/pgm, routed id mod 3;
+        empty text falls back to zraw — P5/WAV need ≥1 sample);
+        corrupt n_samples metadata fails loudly."""
+        rows = [(0, "wav leg bytes"), (1, "hello multimodal world"),
+                (2, "pgm leg größere zeichen ÄÖÜ"), (3, ""), (5, "p5!")]
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         assets = multimodal.text_assets(df, "text", "doc_id")
+        codecs = {r["asset_id"]: r["meta"]["codec"]
+                  for r in assets.collect()}
+        assert codecs == {0: "wav", 1: "zraw", 2: "pgm", 3: "zraw",
+                          5: "pgm"}
         got = {r["asset_id"]: bytes(r["payload"]) for r in
                multimodal.decode_payloads(assets).collect()}
         for i, t in rows:
