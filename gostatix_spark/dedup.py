@@ -33,7 +33,8 @@ from gostatix_spark import hashing
 
 __all__ = ["exact_dedup", "minhash_signatures", "lsh_candidate_pairs",
            "minhash_dedup_pairs", "simhash", "simhash_near_pairs",
-           "ngram_jaccard_pairs", "embedding_dedup_pairs"]
+           "simhash_manku_pairs", "ngram_jaccard_pairs",
+           "embedding_dedup_pairs"]
 
 _MERSENNE = (1 << 61) - 1
 _P61 = np.uint64(_MERSENNE)
@@ -366,6 +367,72 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
                 F.col("sa").bitwiseXOR(F.col("sb"))))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_manku_pairs(sims: DataFrame, max_hamming: int = 6,
+                        n_blocks: int = 8,
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Complete hamming-≤k candidate generation for LARGER radii than
+    the plain pigeonhole can afford, after Manku/Jain/Sarma's permuted-
+    table scheme ("Detecting Near-Duplicates for Web Crawling", WWW'07
+    §3): split the 64-bit simhash into ``n_blocks`` equal blocks; a
+    pair within hamming k differs in ≤ k blocks, so at least
+    ``n_blocks − k`` blocks match — and therefore SOME
+    (n_blocks−k)-subset of blocks matches exactly. One probe table per
+    such subset, keyed by that subset's concatenated bits, finds every
+    pair (no recall loss), with a key (n_blocks−k)/n_blocks·64 bits
+    wide — far more selective than the plain pigeonhole's single
+    64/(k+1)-bit chunk at the same radius (k=6: 16-bit keys over 28
+    tables vs 9-bit chunks whose buckets go quadratic).
+
+    Execution shape (the 100-TB consideration): rather than
+    C(n_blocks, n_blocks−k) separate self-joins, each row is EXPLODED
+    into its C table keys — (id, tbl, key) rows — and ONE equi-join on
+    (tbl, key) produces all candidates: a single shuffle whose input
+    is C× the signature table (k=6 ⇒ 28×64-bit keys per doc, still
+    ≪ the text), never C plan-duplicated scans. ``max_bucket_size``
+    caps hot (tbl, key) buckets exactly like
+    :func:`simhash_near_pairs`. Output: [id_a, id_b, hamming].
+    """
+    from itertools import combinations
+    if 64 % n_blocks:
+        raise ValueError("n_blocks must divide 64")
+    if not 0 < max_hamming < n_blocks:
+        raise ValueError("need 0 < max_hamming < n_blocks")
+    w = 64 // n_blocks
+    m = n_blocks - max_hamming  # blocks that must match exactly
+    blocks = [F.shiftrightunsigned(F.col("simhash"), i * w)
+              .bitwiseAND(F.lit((1 << w) - 1)) for i in range(n_blocks)]
+    combos = list(combinations(range(n_blocks), m))
+    keys = []
+    for t, combo in enumerate(combos):
+        key = F.lit(0).cast("long")
+        for i in combo:
+            key = F.shiftleft(key, w).bitwiseOR(blocks[i])
+        keys.append(F.struct(F.lit(t).alias("tbl"), key.alias("key")))
+    ex = (sims.select("id", "simhash",
+                      F.explode(F.array(*keys)).alias("_tk"))
+          .select("id", "simhash", "_tk.tbl", "_tk.key"))
+    if max_bucket_size:
+        hot = (ex.groupBy("tbl", "key").count()
+               .where(F.col("count") > max_bucket_size)
+               .select("tbl", "key"))
+        ex = ex.join(F.broadcast(hot), ["tbl", "key"], "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (a.join(b, [F.col("a.tbl") == F.col("b.tbl"),
+                       F.col("a.key") == F.col("b.key"),
+                       F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("sa"),
+                    F.col("b.simhash").alias("sb"))
+            .withColumn("hamming", F.bit_count(
+                F.col("sa").bitwiseXOR(F.col("sb"))))
+            .where(F.col("hamming") <= max_hamming)  # before distinct:
+            # candidates surviving the radius check are few; duplicates
+            # across tables are dropped on the small verified set
+            .select("id_a", "id_b", "hamming")
+            .distinct())
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
