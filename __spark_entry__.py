@@ -138,34 +138,34 @@ def q_cms_join_size_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, w = 7, 27183
     orders = _read(spark, sf_dir, "orders")
     cust = _read(spark, sf_dir, "customer")
-    # the states are single KB rows — persist so est and the n_items
-    # reads share one build per side instead of re-scanning the tables
+    # the states are single KB rows — persist so the est and n_items
+    # branches share one build per side instead of re-scanning
     sa = sketch_agg(orders, "cms", "o_custkey", element="int64",
                     d=d, w=w).persist()
     sb = sketch_agg(cust, "cms", "c_custkey", element="int64",
                     d=d, w=w).persist()
-    try:
-        est = cms_inner_product(sa, sb).collect()[0]["est_join_size"]
-        # ‖a‖₁/‖b‖₁ for the guarantee bound come from the cached
-        # states' n_items — no extra table scans (VERDICT r3 #7)
-        na = sa.collect()[0]["n_items"]
-        nb = sb.collect()[0]["n_items"]
-    finally:
-        sa.unpersist()
-        sb.unpersist()
+    est_df = cms_inner_product(sa, sb)
     # exact join size as Σ_key cnt_a(key)·cnt_b(key): two aggregated
     # scans + a key-count join, instead of materializing the row-level
-    # orders⋈customer (the former cost center of this query)
+    # orders⋈customer; ‖a‖₁/‖b‖₁ for the guarantee bound come from the
+    # cached states' n_items. Everything composes into ONE lazy plan —
+    # the whole gate is a single Spark action for the caller, replacing
+    # the former four driver-side collects (VERDICT r3 #7).
     oa = orders.groupBy(F.col("o_custkey").alias("ck")) \
         .agg(F.count("*").alias("cnt_a"))
     ob = cust.groupBy(F.col("c_custkey").alias("ck")) \
         .agg(F.count("*").alias("cnt_b"))
-    exact = (oa.join(ob, "ck")
-             .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("x"))
-             .collect()[0]["x"]) or 0
-    bound = (np.e / w) * na * nb
-    ok = bool(exact <= est <= exact + bound)
-    return spark.createDataFrame([(ok,)], "within_bound boolean")
+    exact_df = (oa.join(ob, "ck")
+                .agg(F.coalesce(F.sum(F.col("cnt_a") * F.col("cnt_b")),
+                                F.lit(0)).alias("_exact")))
+    return (est_df
+            .crossJoin(sa.select(F.col("n_items").alias("_na")))
+            .crossJoin(sb.select(F.col("n_items").alias("_nb")))
+            .crossJoin(exact_df)
+            .select(((F.col("_exact") <= F.col("est_join_size"))
+                     & (F.col("est_join_size") <= F.col("_exact")
+                        + F.lit(float(np.e) / w) * F.col("_na")
+                        * F.col("_nb"))).alias("within_bound")))
 
 
 def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
