@@ -462,6 +462,63 @@ def q_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                      <= tol).alias("within_bound")))
 
 
+def q_hll_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The many-key scale path of the HLL set algebra under the gate:
+    user overlap between ADJACENT HOURS of each event type, computed
+    with hll_intersect_pairs(pairs=...) — an explicit ~3k-row pair
+    DataFrame (two equi-joins + vectorized register math) instead of
+    the K²/2 ≈ 5.7M all-pairs join the default would run over these
+    windowed keys. Gate: every adjacent-window intersection estimate
+    within the RSS 3σ bound of the exact overlap (floor of ±9 for
+    single-register collision noise on tiny windows — same rationale
+    as q_windowed_hll's gate)."""
+    from gostatix_spark.query import hll_intersect_pairs
+    m = 4096
+    # three consumers (states / window list / exact overlap) — persist
+    # so the scan+repartition runs once, not per branch
+    events = (_read(spark, sf_dir, "events").repartition(32)
+              .withColumn("h", F.date_trunc("hour", "ts"))
+              .withColumn("etype_hour",
+                          F.concat_ws("|", "event_type",
+                                      F.date_format("h", "yyyy-MM-dd HH")))
+              .persist())
+    states = sketch_agg(events, "hll", "user_id", key_col="etype_hour",
+                        m=m, merge_buckets=32)
+    wins = events.select("event_type", "h").distinct()
+    key = lambda side: F.concat_ws(  # noqa: E731
+        "|", F.col(f"{side}.event_type"),
+        F.date_format(F.col(f"{side}.h"), "yyyy-MM-dd HH"))
+    pairs = (wins.alias("a")
+             .join(wins.alias("b"),
+                   (F.col("a.event_type") == F.col("b.event_type"))
+                   & (F.col("b.h") == F.col("a.h")
+                      + F.expr("INTERVAL 1 HOUR")))
+             .select(key("a").alias("key_a"), key("b").alias("key_b")))
+    est = hll_intersect_pairs(states, "etype_hour", pairs=pairs)
+    # exact overlap ONLY for the requested pairs: joining the pair list
+    # first keeps the user self-join linear in (pairs × window users) —
+    # an unrestricted users⋈users on user_id would enumerate every
+    # co-occurring window pair (~67M rows at sf0.1) to then discard
+    # all but the adjacent ones
+    users = events.select("etype_hour", "user_id").distinct()
+    exact = (pairs
+             .join(users.alias("ua"),
+                   F.col("key_a") == F.col("ua.etype_hour"))
+             .join(users.alias("ub"),
+                   (F.col("key_b") == F.col("ub.etype_hour"))
+                   & (F.col("ua.user_id") == F.col("ub.user_id")))
+             .groupBy("key_a", "key_b")
+             .agg(F.count("*").alias("exact_overlap")))
+    sigma = params.hll_accuracy(m) * F.sqrt(
+        F.col("est_a") ** 2 + F.col("est_b") ** 2 + F.col("est_union") ** 2)
+    tol = F.greatest(3 * sigma, F.lit(9.0))
+    return (est.join(exact, ["key_a", "key_b"], "left")
+            .select("key_a", "key_b",
+                    (F.abs(F.col("est_intersect")
+                           - F.coalesce("exact_overlap", F.lit(0)))
+                     <= tol).alias("within_bound")))
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling murmur3 k-grams) — rows-only."""
     docs = _read(spark, sf_dir, "documents")
@@ -634,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "scrub_pii": q_scrub_pii,
         "windowed_hll_gate": q_windowed_hll,
+        "hll_window_overlap": q_hll_window_overlap,
         "winnowing": q_winnowing,
         "multimodal_roundtrip": q_multimodal_roundtrip,
         "split_assign": q_split_assign,
@@ -793,6 +851,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT event_type || '|' || "
             "strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS etype_hour, "
             "TRUE AS within_bound FROM events"),
+        "hll_window_overlap": (
+            "WITH w AS (SELECT DISTINCT event_type,"
+            " date_trunc('hour', ts) AS h FROM events)"
+            " SELECT a.event_type || '|' || strftime(a.h, '%Y-%m-%d %H')"
+            "   AS key_a,"
+            " b.event_type || '|' || strftime(b.h, '%Y-%m-%d %H') AS key_b,"
+            " TRUE AS within_bound"
+            " FROM w a JOIN w b ON a.event_type = b.event_type"
+            " AND b.h = a.h + INTERVAL 1 HOUR"),
         "multimodal_roundtrip": (
             "SELECT doc_id, text AS decoded_text,"
             " octet_length(CAST(text AS BLOB)) AS n_samples,"

@@ -236,11 +236,13 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
         # converges from above as sessions land in quiet windows (its
         # walls only descend under additive noise), so extra pairs buy
         # convergence, never inflation
-        # 2400 s: tonight's converged execution needed 2565 s of
-        # sessions across 5 pairs; 1800 s kept dying one pair short
-        # (suite + corpus gen + 2400 s stays well under an hour)
+        # 3000 s: the r3 converged execution needed 2565 s of sessions;
+        # the r4 run-1 at 2400 s ended ONE lo gap-fill session short of
+        # convergence (c4 closed to 0.8 % via gap-fill, c1 stuck at
+        # 4.4 % with no budget left). Suite + corpus gen + 3000 s still
+        # fits the hour.
         budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC",
-                                      "2400"))
+                                      "3000"))
         min_pairs = max(2, reps)
         max_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_PAIRS", "8"))
         lo_, hi_ = pair
@@ -348,13 +350,17 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
         # exposure needs luck to land in a quiet window. Allow a small
         # overshoot (10%) since these sessions are the cheap ones.
         if not out["converged"] and pairs_done >= min_pairs:
-            for _ in range(4):
+            for _ in range(6):
                 stale = [c for c in (hi_, lo_) if gap(c) > 0.03]
                 if not stale or eff_now() > 1.05:
                     break
                 cores = stale[0]
                 elapsed = time.perf_counter() - t_sched
-                if elapsed + sess_cost.get(cores, budget) > budget * 1.10:
+                # overshoot allowance 20%: a gap-fill session can only
+                # move the per-level min DOWN (additive noise), so the
+                # marginal time buys convergence, never bias — r4 run 1
+                # died exactly one lo session short under a 10% cap
+                if elapsed + sess_cost.get(cores, budget) > budget * 1.20:
                     break
                 wait_for_quiet(max_wait=60.0)
                 run_session(cores, "gapfill")
