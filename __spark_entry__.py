@@ -408,6 +408,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(sims, max_hamming=3)
 
 
+def q_simhash_manku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manku permuted-table SimHash at hamming ≤ 6 — the larger-radius
+    scale path (one equi-join over C(8,2)=28 block-subset probe
+    tables, 16-bit keys; dedup.simhash_manku_pairs). Hash-defined →
+    rows-only; completeness and plain-pigeonhole equivalence are
+    pytest-gated."""
+    docs = _read(spark, sf_dir, "documents").repartition(32)
+    sims = dedup.simhash(docs, "text", "doc_id")
+    return dedup.simhash_manku_pairs(sims, max_hamming=6)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return (textstats.token_stats(docs, "text", "doc_id")
@@ -685,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_manku": q_simhash_manku,
         "token_stats": q_token_stats,
         "quality_features": q_quality_features,
         "lang_id": q_lang_id,

@@ -399,6 +399,10 @@ def simhash_manku_pairs(sims: DataFrame, max_hamming: int = 6,
         raise ValueError("n_blocks must divide 64")
     if not 0 < max_hamming < n_blocks:
         raise ValueError("need 0 < max_hamming < n_blocks")
+    # both join sides (and the optional hot-bucket count) consume the
+    # signature subtree — persist so an upstream UDF (simhash) runs
+    # once, not once per consumer
+    sims = sims.persist()
     w = 64 // n_blocks
     m = n_blocks - max_hamming  # blocks that must match exactly
     blocks = [F.shiftrightunsigned(F.col("simhash"), i * w)
