@@ -660,6 +660,35 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "rank", "vec_id"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (similarity.build_ivf_index + ivf_topk): spherical-
+    k-means coarse quantizer, table partitioned by centroid id,
+    queries probe their nearest lists with static cid partition
+    pruning. Run here at nprobe = n_centroids, where IVF provably
+    equals exact brute force — a hard DuckDB oracle that the index
+    partitions the corpus without losing or duplicating a single
+    vector (the brute_force oracle SQL applies verbatim). The
+    partial-probe recall/pruning behavior is pytest-gated
+    (tests/test_pipeline_ops.py)."""
+    import tempfile
+    emb = _read(spark, sf_dir, "embeddings").repartition(32)
+    # q_vec in double: float⊗double promotes per element, so the
+    # cosine accumulates in double exactly like the oracle's
+    # CAST(... AS DOUBLE[]) — near-tie ranks can't flip on precision
+    queries = (emb.where("vec_id < 3")
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").cast("array<double>")
+                       .alias("q_vec")))
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivf"
+        similarity.build_ivf_index(emb, path, n_centroids=16,
+                                   train_rows=2000)
+        out = similarity.ivf_topk(spark, path, queries, k=5, nprobe=16) \
+            .select("q_id", "rank", "vec_id")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (recall < 1 by design) — rows-only. dim is
     inferred worker-side from the vectors (no driver .first() sniff)."""
@@ -714,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -919,6 +949,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.v, b.v) >= 0.35
         """),
         "ann_bruteforce": ("""
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 3),
+                 scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.q_vec AS DOUBLE[])) AS cosine
+              FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+              SELECT q_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cosine DESC, vec_id ASC)
+                       AS rank
+              FROM scored
+            )
+            SELECT q_id, rank, vec_id FROM ranked WHERE rank <= 5
+        """),
+        # at nprobe = n_centroids IVF probes every inverted list, so
+        # the exact-top-k oracle applies verbatim — the gate proves the
+        # index partitions the corpus losslessly
+        "ann_ivf": ("""
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
                        FROM embeddings WHERE vec_id < 3),
                  scored AS (

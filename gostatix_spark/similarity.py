@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
 __all__ = ["brute_force_topk", "lsh_topk", "cosine_col", "unit_vector_col",
-           "hyperplane_signature", "build_lsh_index", "lsh_topk_indexed"]
+           "hyperplane_signature", "build_lsh_index", "lsh_topk_indexed",
+           "build_ivf_index", "ivf_topk"]
 
 
 def cosine_col(a, b):
@@ -154,6 +155,128 @@ def lsh_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10, *,
     probed = [r["bkt"] for r in q.select("bkt").distinct().collect()]
     emb = spark.read.parquet(path).where(F.col("bkt").isin(probed))
     cands = emb.join(F.broadcast(q), "bkt")
+    scored = cands.select(
+        F.col(q_id_col), F.col(p["id_col"]),
+        cosine_col(F.col(p["vec_col"]), F.col(q_vec_col)).alias("cosine"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"),
+                                             F.asc(p["id_col"]))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id_col, "rank", p["id_col"], "cosine"))
+
+
+def _spherical_kmeans(X: np.ndarray, k: int, iters: int = 12,
+                      seed: int = 42) -> np.ndarray:
+    """Driver-side spherical k-means (cosine distance) on a TRAINING
+    SAMPLE of unit vectors — the IVF coarse quantizer. k-means++ init,
+    fixed iteration count, fully deterministic under ``seed``. This is
+    how IVF trains in practice: the quantizer fits on ≤ ~10⁵ sampled
+    vectors regardless of corpus size; only the ASSIGNMENT pass is
+    data-sized (and that runs distributed)."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    k = min(k, n)
+    C = np.empty((k, X.shape[1]), dtype=np.float64)
+    C[0] = X[rng.integers(n)]
+    d2 = np.maximum(0.0, 1.0 - X @ C[0])
+    for j in range(1, k):
+        tot = d2.sum()
+        idx = rng.choice(n, p=d2 / tot) if tot > 0 else rng.integers(n)
+        C[j] = X[idx]
+        d2 = np.minimum(d2, np.maximum(0.0, 1.0 - X @ C[j]))
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    C[j] = v / norm
+    return C.astype(np.float32)
+
+
+def _ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """array<float> vec → top-``nprobe`` centroid ids by cosine — one
+    normalize + matmul + argpartition per Arrow batch."""
+    from pyspark.sql.types import ArrayType, IntegerType
+    C = centroids  # captured; shipped once per task via closure pickle
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float32) for v in vs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        sims = X @ C.T
+        p = min(nprobe, C.shape[0])
+        part = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        row_sims = np.take_along_axis(sims, part, axis=1)
+        order = np.argsort(-row_sims, axis=1)
+        top = np.take_along_axis(part, order, axis=1)
+        return pd.Series([row.tolist() for row in top.astype(np.int32)])
+
+    return assign
+
+
+def build_ivf_index(emb: DataFrame, path: str, *, n_centroids: int = 64,
+                    train_rows: int = 20000, kmeans_iters: int = 12,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """IVF (inverted-file) ANN index — the second scale path next to
+    LSH: a spherical-k-means coarse quantizer trained on a
+    deterministic sample, every vector assigned to its nearest
+    centroid (one matmul per Arrow batch, distributed), the table
+    persisted PARTITIONED BY centroid id. Queries probe only their
+    ``nprobe`` nearest centroids' partitions (static ``cid IN (...)``
+    pruning) and re-rank exactly within them — scan cost
+    O(probed lists), recall controlled by ``nprobe``.
+
+    Layout: ``path/cid=<c>/part-*.parquet`` with ``[id, vec, cid]``
+    plus an ``_ivf_index.json`` sidecar pinning the centroid matrix
+    and params so probes can't run against a mismatched quantizer
+    (same pattern as ``build_lsh_index``). The training sample is the
+    ``train_rows`` smallest ``xxhash64(id)`` values —
+    TakeOrderedAndProject, deterministic, no global sort."""
+    import json
+    import os
+    sample = (emb.select(vec_col)
+              .orderBy(F.xxhash64(F.col(id_col)))
+              .limit(train_rows).collect())
+    X = np.stack([np.asarray(r[0], dtype=np.float32) for r in sample])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    C = _spherical_kmeans(X, n_centroids, iters=kmeans_iters, seed=seed)
+    assign = _ivf_assign_udf(C, nprobe=1)
+    e = emb.withColumn("cid", assign(F.col(vec_col)).getItem(0))
+    (e.select(id_col, vec_col, "cid")
+     .write.mode("overwrite").partitionBy("cid").parquet(path))
+    with open(os.path.join(path, "_ivf_index.json"), "w") as f:
+        json.dump({"n_centroids": int(C.shape[0]), "dim": int(C.shape[1]),
+                   "seed": seed, "id_col": id_col, "vec_col": vec_col,
+                   "centroids": C.astype(float).tolist()}, f)
+
+
+def ivf_topk(spark, path: str, queries: DataFrame, k: int = 10, *,
+             nprobe: int = 4, q_id_col: str = "q_id",
+             q_vec_col: str = "q_vec") -> DataFrame:
+    """Approximate top-k against a persisted :func:`build_ivf_index`:
+    each query's ``nprobe`` nearest centroids are computed over the
+    (tiny) query batch, the index scan carries a static
+    ``cid IN (...)`` partition filter, and the exact cosine re-rank
+    runs only within the probed inverted lists. With
+    ``nprobe = n_centroids`` the result equals
+    :func:`brute_force_topk` exactly (every list probed); smaller
+    ``nprobe`` trades recall for scan cost. Output:
+    [q_id, rank, id, cosine]."""
+    import json
+    import os
+    with open(os.path.join(path, "_ivf_index.json")) as f:
+        p = json.load(f)
+    C = np.asarray(p["centroids"], dtype=np.float32)
+    assign = _ivf_assign_udf(C, nprobe=min(nprobe, p["n_centroids"]))
+    q = (queries.withColumn("cid", F.explode(assign(F.col(q_vec_col))))
+         .select(q_id_col, q_vec_col, "cid"))
+    probed = [r["cid"] for r in q.select("cid").distinct().collect()]
+    emb = spark.read.parquet(path).where(F.col("cid").isin(probed))
+    cands = emb.join(F.broadcast(q), "cid")
     scored = cands.select(
         F.col(q_id_col), F.col(p["id_col"]),
         cosine_col(F.col(p["vec_col"]), F.col(q_vec_col)).alias("cosine"))

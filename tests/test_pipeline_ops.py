@@ -304,6 +304,62 @@ class TestSimilarity:
                         if "FileScan" in ln and "PartitionFilters: [bkt" in ln)
             assert " IN (" in scan
 
+    def test_ivf_full_probe_equals_brute_force(self, spark, emb):
+        """IVF with nprobe = n_centroids probes EVERY inverted list, so
+        the result must equal exact brute force — proves the index
+        partitions the data without losing or duplicating any vector.
+        Small nprobe must prune the scan (static cid partition filter)
+        and keep decent recall; each query's own vector is always found
+        (it sits in the query's nearest list by construction)."""
+        import tempfile
+        queries = (emb.limit(4)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        with tempfile.TemporaryDirectory() as tmp:
+            path = f"{tmp}/ivf_index"
+            similarity.build_ivf_index(emb, path, n_centroids=16,
+                                       train_rows=500)
+            exact = similarity.brute_force_topk(emb, queries, k=5)
+            full = similarity.ivf_topk(spark, path, queries, k=5,
+                                       nprobe=16)
+            ex = {(r["q_id"], r["rank"], r["vec_id"])
+                  for r in exact.collect()}
+            fu = {(r["q_id"], r["rank"], r["vec_id"])
+                  for r in full.collect()}
+            assert ex == fu and len(ex) == 20
+            few = similarity.ivf_topk(spark, path, queries, k=5, nprobe=4)
+            rows = few.collect()
+            ap = {(r["q_id"], r["vec_id"]) for r in rows}
+            recall = len({(a, b) for a, _, b in ex} & ap) / len(ex)
+            assert recall >= 0.4
+            assert all((q["q_id"], q["q_id"]) in ap
+                       for q in queries.collect())
+            plan = few._jdf.queryExecution().executedPlan().toString()
+            # the index scan must carry a partition filter on cid (the
+            # IN-list itself is often elided by plan truncation)
+            assert any("FileScan" in ln and "PartitionFilters: [cid" in ln
+                       for ln in plan.splitlines()), plan
+
+    def test_ivf_build_deterministic(self, spark, emb):
+        """Same seed → identical centroids and identical assignment —
+        index rebuilds are reproducible (the sidecar pins the
+        quantizer)."""
+        import json
+        import tempfile
+        with tempfile.TemporaryDirectory() as tmp:
+            p1, p2 = f"{tmp}/a", f"{tmp}/b"
+            for p in (p1, p2):
+                similarity.build_ivf_index(emb, p, n_centroids=8,
+                                           train_rows=300, seed=7)
+            s1 = json.load(open(f"{p1}/_ivf_index.json"))
+            s2 = json.load(open(f"{p2}/_ivf_index.json"))
+            assert s1["centroids"] == s2["centroids"]
+            a1 = {r["vec_id"]: r["cid"] for r in
+                  spark.read.parquet(p1).collect()}
+            a2 = {r["vec_id"]: r["cid"] for r in
+                  spark.read.parquet(p2).collect()}
+            assert a1 == a2
+
 
 class TestTextStats:
     def test_token_stats_consistent(self, spark, docs):

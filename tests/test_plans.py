@@ -147,3 +147,34 @@ def test_reservoir_sample_take_ordered_no_global_sort(spark):
     plan = _plan(sampling.reservoir_sample(docs, "doc_id", 100))
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_hll_intersect_explicit_pairs_no_nested_loop(spark):
+    """The pairs= scale path must compile to equi-joins — the default
+    all-pairs BroadcastNestedLoopJoin is exactly what it replaces."""
+    from gostatix_spark.query import hll_intersect_pairs
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    states = sketch_agg(events, "hll", "user_id", key_col="event_type",
+                        m=1024)
+    pairs = spark.createDataFrame([("click", "view")],
+                                  "key_a string, key_b string")
+    plan = _plan(hll_intersect_pairs(states, "event_type", pairs=pairs))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # and the default path IS the (documented) nested-loop join
+    plan_default = _plan(hll_intersect_pairs(states, "event_type"))
+    assert "BroadcastNestedLoopJoin" in plan_default
+
+
+def test_simhash_manku_single_join(spark):
+    """The Manku scheme must be ONE self-join over exploded table keys,
+    not C(8,2)=28 unioned plan-duplicated joins: exactly one join node
+    and no Union in the physical plan."""
+    from gostatix_spark import dedup
+    sims = spark.createDataFrame(
+        [(i, i * 2654435761 % (1 << 63)) for i in range(50)],
+        "id long, simhash long")
+    plan = _plan(dedup.simhash_manku_pairs(sims, max_hamming=6))
+    assert "Union" not in plan, plan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
