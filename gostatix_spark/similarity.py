@@ -246,7 +246,11 @@ def build_ivf_index(emb: DataFrame, path: str, *, n_centroids: int = 64,
     C = _spherical_kmeans(X, n_centroids, iters=kmeans_iters, seed=seed)
     assign = _ivf_assign_udf(C, nprobe=1)
     e = emb.withColumn("cid", assign(F.col(vec_col)).getItem(0))
-    (e.select(id_col, vec_col, "cid")
+    # shuffle-align rows to their centroid before the partitioned
+    # write: without it every input partition writes a file into every
+    # cid dir (partitions × lists tiny files); with it each list gets
+    # O(1) well-sized files — the layout the probe-side pruning wants
+    (e.select(id_col, vec_col, "cid").repartition(F.col("cid"))
      .write.mode("overwrite").partitionBy("cid").parquet(path))
     with open(os.path.join(path, "_ivf_index.json"), "w") as f:
         json.dump({"n_centroids": int(C.shape[0]), "dim": int(C.shape[1]),
