@@ -280,6 +280,33 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
         # to not START a session the budget can't finish
         sess_cost: dict[int, float] = {}
 
+        def ledger_floors() -> dict[int, float]:
+            """Historical per-level capability walls for this corpus size
+            from BENCH/scaling_ledger.json — printed as the retry target
+            so the operator can see how far the current mins sit from
+            reproduced capability. The STOP rule never uses them (it is
+            the ratio + two-best gap), so a stale floor cannot bias the
+            estimate; extra sessions only ever move a min down."""
+            try:
+                with open(os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)),
+                        "BENCH", "scaling_ledger.json")) as f:
+                    led = json.load(f)
+                floors: dict[int, float] = {}
+                for ex in led.get("executions", []):
+                    # entries carrying their own "corpus" note measured a
+                    # non-default corpus size — their walls don't compare
+                    if "corpus" in ex:
+                        continue
+                    ws = ex.get("floors") or ex.get("capability_walls") or {}
+                    for k, v in ws.items():
+                        c = int(k.lstrip("c"))
+                        if c in pair and isinstance(v, (int, float)):
+                            floors[c] = min(floors.get(c, float("inf")), v)
+                return floors
+            except (OSError, ValueError, KeyError):
+                return {}
+
         def run_session(cores: int, label: str) -> None:
             t0 = time.perf_counter()
             # the hi level's passes are ~(hi/lo)× cheaper, so buy
@@ -308,17 +335,32 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
             # sample, never a ~5-minute lo session already paid for
             # (the round-3 driver run spent its last 300 s on a lo
             # session whose hi partner never ran)
+            ran_this_pair: set[int] = set()
             for cores in (hi_, lo_):
+                # once the hi floor is REPRODUCED (two best ≤ 3%),
+                # further hi sessions cannot move the headline — spend
+                # those windows on the decisive lo draws instead. The
+                # r4 driver run bought 8 hi sessions (floor reproduced
+                # by #3) while the lo level never escaped interference.
+                if (cores == hi_ and pairs_done >= min_pairs
+                        and gap(hi_) <= 0.03):
+                    continue
                 elapsed = time.perf_counter() - t_sched
                 need = sess_cost.get(cores, 0.0)
                 if pairs_done >= 1 and elapsed + need > budget:
                     over_budget = True
                     break
                 run_session(cores, str(pairs_done + 1))
+                ran_this_pair.add(cores)
             if over_budget:
                 print(f"#   scaling stop mid-pair (budget)", flush=True)
                 break
-            pair_walls.append((walls[lo_][-1], walls[hi_][-1]))
+            # the same-window pair statistic only accepts TRUE pairs —
+            # both sessions run back-to-back in this iteration; a lo
+            # session whose hi partner was skipped (hi already
+            # converged) contributes to the per-level min only
+            if ran_this_pair == {hi_, lo_}:
+                pair_walls.append((walls[lo_][-1], walls[hi_][-1]))
             pairs_done += 1
             elapsed = time.perf_counter() - t_sched
             # min-ratio > 1 means SOME distortion: either the lo level
@@ -337,38 +379,72 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
             converged = (pairs_done >= min_pairs
                          and gap(lo_) <= 0.03 and gap(hi_) <= 0.03
                          and eff_now() <= 1.05)
-            if converged or elapsed > budget:
+            # the lo-plateau signature: both gaps closed but the ratio
+            # sits above the structural band — every lo sample landed in
+            # the same interference plateau (two equally-inflated
+            # samples pass the 3% check while the hi floor proves quiet
+            # windows exist). Full pairs can't fix that; hand the
+            # remaining budget to the targeted retry loop below.
+            plateau = (pairs_done >= min_pairs
+                       and gap(lo_) <= 0.03 and gap(hi_) <= 0.03
+                       and eff_now() > 1.05)
+            if converged or plateau or elapsed > budget:
                 out["converged"] = bool(converged)
+                reason = ("converged" if converged
+                          else "lo-plateau → targeted retry" if plateau
+                          else "budget")
                 print(f"#   scaling stop after {pairs_done} session pairs "
-                      f"({'converged' if converged else 'budget'}, "
-                      f"{elapsed:.0f}s)", flush=True)
+                      f"({reason}, {elapsed:.0f}s)", flush=True)
                 break
-        # GAP-FILLING: the per-level MIN doesn't require paired
-        # sessions (pairing only serves the same-window fallback), so
-        # leftover budget buys extra sessions for whichever level still
-        # fails its 3% two-best gap — usually the hi level, whose short
-        # exposure needs luck to land in a quiet window. Allow a small
-        # overshoot (10%) since these sessions are the cheap ones.
+        # TARGETED RETRY (gap-fill + plateau rescue, unified): the
+        # per-level MIN doesn't require paired sessions (pairing only
+        # serves the same-window fallback), so leftover budget buys
+        # sessions for whichever level BLOCKS convergence:
+        #   (a) a level whose two-best gap is still > 3% (usually hi —
+        #       its short exposure needs luck to land a quiet window);
+        #   (b) when both gaps are closed but eff > 1.05, the lo level
+        #       — under additive noise a too-high ratio can ONLY mean
+        #       the lo min never escaped interference (the hi level
+        #       cannot be "too fast"), so only deeper lo draws can pull
+        #       the ratio back into the structural band. The r4 driver
+        #       run ended exactly here (raw 1.108, c4 at a record
+        #       20.68 s floor, c1 stuck at 91.6 vs its reproduced
+        #       82-84 s band) with its old gap-fill loop refusing to
+        #       run BECAUSE eff > 1.05 — backwards, fixed here.
+        # Every retry session can only move a per-level min DOWN, so
+        # marginal time buys convergence, never bias.
         if not out["converged"] and pairs_done >= min_pairs:
-            for _ in range(6):
+            floors = ledger_floors()
+            if floors:
+                print(f"#   scaling retry: historical capability floors "
+                      f"{ {f'c{c}': v for c, v in sorted(floors.items())} } "
+                      f"(target band; stop rule stays ratio+gap)",
+                      flush=True)
+            for _ in range(8):
                 stale = [c for c in (hi_, lo_) if gap(c) > 0.03]
-                if not stale or eff_now() > 1.05:
+                plateau_now = not stale and eff_now() > 1.05
+                if not stale and not plateau_now:
                     break
-                cores = stale[0]
+                cores = lo_ if plateau_now else stale[0]
                 elapsed = time.perf_counter() - t_sched
-                # overshoot allowance 20%: a gap-fill session can only
-                # move the per-level min DOWN (additive noise), so the
-                # marginal time buys convergence, never bias — r4 run 1
-                # died exactly one lo session short under a 10% cap
-                if elapsed + sess_cost.get(cores, budget) > budget * 1.20:
+                # overshoot allowance: 20% for ordinary gap-fill; 35%
+                # when the lo plateau is the blocker — those sessions
+                # are the expensive ones but also the only ones that
+                # can converge the artifact (one quiet ~90 s lo window
+                # is all the r4 run needed)
+                allow = 1.35 if plateau_now else 1.20
+                if elapsed + sess_cost.get(cores, budget) > budget * allow:
                     break
-                wait_for_quiet(max_wait=60.0)
-                run_session(cores, "gapfill")
+                # a plateau retry is pointless on a loud host — wait
+                # harder (and for a quieter bar) than the pair loop does
+                wait_for_quiet(max_wait=240.0 if plateau_now else 60.0,
+                               threshold=2.0 if plateau_now else 2.5)
+                run_session(cores, "retry")
             converged = (gap(lo_) <= 0.03 and gap(hi_) <= 0.03
                          and eff_now() <= 1.05)
             if converged:
                 out["converged"] = True
-                print(f"#   scaling converged after gap-filling "
+                print(f"#   scaling converged after targeted retry "
                       f"({time.perf_counter() - t_sched:.0f}s)", flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -396,7 +472,9 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
     out["reps"] = reps
     out["protocol"] = ("interleaved per-rep sessions; discarded full warm "
                        "pass; min across reps per level (additive-noise "
-                       "capability estimate)")
+                       "capability estimate); hi sessions skipped once hi "
+                       "floor reproduced; targeted retry for the blocking "
+                       "level (incl. lo-plateau rescue when eff > 1.05)")
     per_rep_eff = [round((lo_w / hi_w) / (hi / lo), 3)
                    for lo_w, hi_w in pair_walls]
     out["per_rep_efficiency"] = per_rep_eff
