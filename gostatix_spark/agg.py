@@ -307,9 +307,14 @@ class _Spec:
         if self.kind == "bloom":
             return BloomState(p["m"], p["k"], acc[0], acc[1]).to_bytes(), acc[1]
         if self.kind == "topk":
+            capped = False
             if isinstance(acc[0], topk.CappedCounts):
                 mat, total, cand = acc[0].finalize(
                     p["k"], p["slack"], p["d"], p["w"])
+                # only a partial that actually compacted carries
+                # inexact candidate counts; a cap that never fired
+                # leaves the exact=True read path valid
+                capped = acc[0].compactions > 0
             elif isinstance(acc[0], topk.IntCounts):
                 mat, total, cand = topk.partial_from_int_counts(
                     acc[0], self.element, p["k"], p["slack"], p["d"], p["w"])
@@ -317,7 +322,8 @@ class _Spec:
                 mat, total, cand = topk.partial_from_counter(
                     acc[0], p["k"], p["slack"], p["d"], p["w"])
             st = TopKState(p["k"], p["eps"], p["fail_prob"],
-                           CMSState(p["d"], p["w"], mat, total), cand)
+                           CMSState(p["d"], p["w"], mat, total), cand,
+                           capped=capped)
             return st.to_bytes(), acc[1]
         if self.kind == "tdigest":
             return tdigest.to_bytes(acc[0], acc[1], acc[2], p["delta"]), acc[2]
@@ -372,13 +378,15 @@ def merge_sketch_states(blobs) -> bytes:
         mat = head.cms.matrix
         tot = head.cms.all_sum
         cand = dict(head.candidates)
+        capped = head.capped
         for s in states[1:]:
             mat = cms.merge(mat, s.cms.matrix)
             tot += s.cms.all_sum
             cand = topk.merge_candidates(cand, s.candidates)
+            capped = capped or s.capped
         return TopKState(head.k, head.error_rate, head.accuracy,
                          CMSState(head.cms.d, head.cms.w, mat, tot),
-                         cand).to_bytes()
+                         cand, capped=capped).to_bytes()
     raise TypeError(f"cannot merge {type(head).__name__}")
 
 

@@ -315,7 +315,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
                        n_chunks: int | None = None,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = None,
+                       eager: bool = True) -> DataFrame:
     """Near-dup candidates by pigeonhole: split the 64-bit simhash into
     ``n_chunks`` (default ``max_hamming + 1``) bit ranges; hamming ≤
     max_hamming ⇒ at least one chunk matches exactly, so one equi-join
@@ -335,10 +336,18 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
     lost only if EVERY chunk where it matches is hot — pairs matching
     in any cold chunk are still found. Default off for pigeonhole
     completeness.
+
+    ``eager`` (default): the signature table is cached for the joins,
+    the (small) verified pair set materialized, and the cache RELEASED
+    before returning — repeated calls don't accumulate pinned memory.
+    ``eager=False`` returns the fully lazy plan and does NOT persist:
+    for plan inspection or composition into a larger lazy pipeline,
+    with the caller owning any caching of ``sims``.
     """
     if n_chunks is None:
         n_chunks = min(16, max_hamming + 1)
-    sims = sims.persist()  # reused by both sides of n_chunks joins
+    if eager:
+        sims = sims.persist()  # reused by both sides of n_chunks joins
     bounds = np.linspace(0, 64, n_chunks + 1).astype(int)
     chunk_cols = []
     for i in range(n_chunks):
@@ -362,16 +371,24 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3,
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                      F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb")))
         pairs = p if pairs is None else pairs.unionByName(p)
-    return (pairs.distinct()
-            .withColumn("hamming", F.bit_count(
-                F.col("sa").bitwiseXOR(F.col("sb"))))
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    out = (pairs.distinct()
+           .withColumn("hamming", F.bit_count(
+               F.col("sa").bitwiseXOR(F.col("sb"))))
+           .where(F.col("hamming") <= max_hamming)
+           .select("id_a", "id_b", "hamming"))
+    if eager:
+        # the surviving pair set is small — materialize it so the cached
+        # signature table can be released now instead of pinning executor
+        # memory for the caller's session (same lifecycle as minhash_pairs)
+        out = out.localCheckpoint(eager=True)
+        sims.unpersist()
+    return out
 
 
 def simhash_manku_pairs(sims: DataFrame, max_hamming: int = 6,
                         n_blocks: int = 8,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        eager: bool = True) -> DataFrame:
     """Complete hamming-≤k candidate generation for LARGER radii than
     the plain pigeonhole can afford, after Manku/Jain/Sarma's permuted-
     table scheme ("Detecting Near-Duplicates for Web Crawling", WWW'07
@@ -393,16 +410,22 @@ def simhash_manku_pairs(sims: DataFrame, max_hamming: int = 6,
     ≪ the text), never C plan-duplicated scans. ``max_bucket_size``
     caps hot (tbl, key) buckets exactly like
     :func:`simhash_near_pairs`. Output: [id_a, id_b, hamming].
+
+    ``eager`` semantics as in :func:`simhash_near_pairs`: default
+    caches the signatures for the join, materializes the pair set and
+    releases the cache; ``eager=False`` = fully lazy, caller-owned
+    caching.
     """
     from itertools import combinations
     if 64 % n_blocks:
         raise ValueError("n_blocks must divide 64")
     if not 0 < max_hamming < n_blocks:
         raise ValueError("need 0 < max_hamming < n_blocks")
-    # both join sides (and the optional hot-bucket count) consume the
-    # signature subtree — persist so an upstream UDF (simhash) runs
-    # once, not once per consumer
-    sims = sims.persist()
+    if eager:
+        # both join sides (and the optional hot-bucket count) consume
+        # the signature subtree — persist so an upstream UDF (simhash)
+        # runs once, not once per consumer
+        sims = sims.persist()
     w = 64 // n_blocks
     m = n_blocks - max_hamming  # blocks that must match exactly
     blocks = [F.shiftrightunsigned(F.col("simhash"), i * w)
@@ -423,20 +446,28 @@ def simhash_manku_pairs(sims: DataFrame, max_hamming: int = 6,
                .select("tbl", "key"))
         ex = ex.join(F.broadcast(hot), ["tbl", "key"], "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
-    return (a.join(b, [F.col("a.tbl") == F.col("b.tbl"),
-                       F.col("a.key") == F.col("b.key"),
-                       F.col("a.id") < F.col("b.id")])
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"),
-                    F.col("a.simhash").alias("sa"),
-                    F.col("b.simhash").alias("sb"))
-            .withColumn("hamming", F.bit_count(
-                F.col("sa").bitwiseXOR(F.col("sb"))))
-            .where(F.col("hamming") <= max_hamming)  # before distinct:
-            # candidates surviving the radius check are few; duplicates
-            # across tables are dropped on the small verified set
-            .select("id_a", "id_b", "hamming")
-            .distinct())
+    out = (a.join(b, [F.col("a.tbl") == F.col("b.tbl"),
+                      F.col("a.key") == F.col("b.key"),
+                      F.col("a.id") < F.col("b.id")])
+           .select(F.col("a.id").alias("id_a"),
+                   F.col("b.id").alias("id_b"),
+                   F.col("a.simhash").alias("sa"),
+                   F.col("b.simhash").alias("sb"))
+           .withColumn("hamming", F.bit_count(
+               F.col("sa").bitwiseXOR(F.col("sb"))))
+           .where(F.col("hamming") <= max_hamming)  # before distinct:
+           # candidates surviving the radius check are few; duplicates
+           # across tables are dropped on the small verified set
+           .select("id_a", "id_b", "hamming")
+           .distinct())
+    if eager:
+        # materialize the (small) verified pair set, then release the
+        # cached signatures — repeated calls in one session must not
+        # accumulate pinned signature tables (same lifecycle as
+        # minhash_pairs / simhash_near_pairs)
+        out = out.localCheckpoint(eager=True)
+        sims.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -101,6 +101,10 @@ def hll_intersect_pairs(states: DataFrame, key_col: str,
     pairs to score (candidate pairs from an LSH pass, adjacent
     windows, a top-k key subset…): the work becomes two equi-joins +
     O(|pairs|) register math, shuffling only the requested rows.
+    Every requested pair yields exactly one output row: a pair whose
+    key has no sketch comes back with null estimates (LEFT joins), so
+    missing keys are visible to the caller instead of silently
+    dropped.
 
     Register math is vectorized per Arrow batch (stacked registers →
     one ``np.maximum`` + one ``hll.count_many`` pass per term)."""
@@ -115,21 +119,33 @@ def hll_intersect_pairs(states: DataFrame, key_col: str,
 
     @F.pandas_udf(out_t)
     def est(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
+        cols = ["est_a", "est_b", "est_union", "est_intersect"]
         if not len(sa):
-            return pd.DataFrame(columns=["est_a", "est_b", "est_union",
-                                         "est_intersect"], dtype="int64")
-        ra = np.stack([sketch_from_bytes(bytes(x)).registers for x in sa])
-        rb = np.stack([sketch_from_bytes(bytes(y)).registers for y in sb])
-        na = hll.count_many(ra, linear_counting=linear_counting)
-        nb = hll.count_many(rb, linear_counting=linear_counting)
-        nu = hll.count_many(np.maximum(ra, rb),
-                            linear_counting=linear_counting)
-        return pd.DataFrame({"est_a": na, "est_b": nb, "est_union": nu,
-                             "est_intersect": na + nb - nu})
+            return pd.DataFrame(columns=cols, dtype="int64")
+        # a requested pair whose key had no sketch arrives with a null
+        # state (LEFT join) — score the valid rows, emit nulls for the
+        # rest so the caller sees one row per requested pair
+        valid = (~sa.isna() & ~sb.isna()).to_numpy()
+        out = pd.DataFrame(index=range(len(sa)), columns=cols,
+                           dtype="Int64")
+        if valid.any():
+            ra = np.stack([sketch_from_bytes(bytes(x))
+                           .registers for x in sa[valid]])
+            rb = np.stack([sketch_from_bytes(bytes(y))
+                           .registers for y in sb[valid]])
+            na = hll.count_many(ra, linear_counting=linear_counting)
+            nb = hll.count_many(rb, linear_counting=linear_counting)
+            nu = hll.count_many(np.maximum(ra, rb),
+                                linear_counting=linear_counting)
+            out.loc[valid, "est_a"] = na
+            out.loc[valid, "est_b"] = nb
+            out.loc[valid, "est_union"] = nu
+            out.loc[valid, "est_intersect"] = na + nb - nu
+        return out
 
     if pairs is not None:
-        joined = pairs.select("key_a", "key_b").join(a, "key_a") \
-                      .join(b, "key_b")
+        joined = pairs.select("key_a", "key_b").join(a, "key_a", "left") \
+                      .join(b, "key_b", "left")
     else:
         joined = a.join(b, F.col("key_a") < F.col("key_b"))
     return (joined
@@ -137,9 +153,11 @@ def hll_intersect_pairs(states: DataFrame, key_col: str,
             .select("key_a", "key_b", "_e.est_a", "_e.est_b",
                     "_e.est_union", "_e.est_intersect")
             .withColumn("est_jaccard",
-                        F.when(F.col("est_union") > 0,
-                               F.col("est_intersect")
-                               / F.col("est_union")).otherwise(F.lit(0.0))))
+                        F.when(F.col("est_union").isNull(),
+                               F.lit(None).cast("double"))
+                        .when(F.col("est_union") > 0,
+                              F.col("est_intersect") / F.col("est_union"))
+                        .otherwise(F.lit(0.0))))
 
 
 def topk_values(states: DataFrame, out_elem: str = "element",
@@ -171,6 +189,13 @@ def topk_values(states: DataFrame, out_elem: str = "element",
         out = []
         for b in blobs:
             st: TopKState = sketch_from_bytes(bytes(b))
+            if exact and getattr(st, "capped", False):
+                raise ValueError(
+                    "topk_values(exact=True) on a capped (max_distinct) "
+                    "build: compaction flushed count tails into the CMS, "
+                    "so exact candidate sums undercount flushed-then-"
+                    "reappearing elements; read with exact=False (CMS "
+                    "re-estimation, the reference semantics)")
             rows = topk.final_values(st.cms.matrix, st.candidates, st.k,
                                      exact=exact)
             out.append([{"rank": i + 1, out_elem: dec(e), out_count: c}

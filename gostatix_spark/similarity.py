@@ -30,6 +30,26 @@ __all__ = ["brute_force_topk", "lsh_topk", "cosine_col", "unit_vector_col",
            "build_ivf_index", "ivf_topk"]
 
 
+def _local_sidecar_path(path: str, name: str) -> str:
+    """The ``_lsh_index.json`` / ``_ivf_index.json`` sidecars go through
+    driver-local ``open()`` while the parquet goes through Spark — fine
+    for local paths, silently wrong for object stores (the sidecar
+    would land on the driver's disk, not next to the data). Fail LOUDLY
+    on a non-local scheme instead (same contract as
+    ``streaming.pointer_store_for``)."""
+    import os
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"index sidecar {name} needs a driver-local path, got scheme "
+            f"{scheme!r} ({path!r}). The partitioned parquet layout works "
+            "on any Spark filesystem, but the quantizer/signature sidecar "
+            "is written with local open() — route it through the Hadoop "
+            "FileSystem API (or keep the index root on file://) before "
+            "pointing builds at an object store.")
+    return os.path.join(path.split("://", 1)[-1], name)
+
+
 def cosine_col(a, b):
     """Cosine similarity of two array<float> columns — pure JVM
     expression (zip_with product, aggregate sums)."""
@@ -121,13 +141,14 @@ def build_lsh_index(emb: DataFrame, path: str, *,
     probe with mismatched hyperplanes. On an object store, keep the
     sidecar in the table's metadata/properties instead."""
     import json
-    import os
+    # validate the sidecar scheme BEFORE the (expensive) parquet write
+    sidecar = _local_sidecar_path(path, "_lsh_index.json")
     shift = n_bits - prefix_bits
     e = hyperplane_signature(emb, vec_col, dim, n_bits, seed) \
         .withColumn("bkt", F.shiftrightunsigned("lsh_sig", shift).cast("int"))
     (e.select(id_col, vec_col, "lsh_sig", "bkt")
      .write.mode("overwrite").partitionBy("bkt").parquet(path))
-    with open(os.path.join(path, "_lsh_index.json"), "w") as f:
+    with open(sidecar, "w") as f:
         json.dump({"n_bits": n_bits, "prefix_bits": prefix_bits,
                    "seed": seed, "id_col": id_col, "vec_col": vec_col}, f)
 
@@ -144,8 +165,7 @@ def lsh_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10, *,
     :func:`lsh_topk` with the same parameters (same seed ⇒ same
     hyperplanes ⇒ same buckets ⇒ same exact re-rank)."""
     import json
-    import os
-    with open(os.path.join(path, "_lsh_index.json")) as f:
+    with open(_local_sidecar_path(path, "_lsh_index.json")) as f:
         p = json.load(f)
     shift = p["n_bits"] - p["prefix_bits"]
     q = hyperplane_signature(queries, q_vec_col, None, p["n_bits"],
@@ -237,7 +257,8 @@ def build_ivf_index(emb: DataFrame, path: str, *, n_centroids: int = 64,
     ``train_rows`` smallest ``xxhash64(id)`` values —
     TakeOrderedAndProject, deterministic, no global sort."""
     import json
-    import os
+    # validate the sidecar scheme BEFORE training + the parquet write
+    sidecar = _local_sidecar_path(path, "_ivf_index.json")
     sample = (emb.select(vec_col)
               .orderBy(F.xxhash64(F.col(id_col)))
               .limit(train_rows).collect())
@@ -252,7 +273,7 @@ def build_ivf_index(emb: DataFrame, path: str, *, n_centroids: int = 64,
     # O(1) well-sized files — the layout the probe-side pruning wants
     (e.select(id_col, vec_col, "cid").repartition(F.col("cid"))
      .write.mode("overwrite").partitionBy("cid").parquet(path))
-    with open(os.path.join(path, "_ivf_index.json"), "w") as f:
+    with open(sidecar, "w") as f:
         json.dump({"n_centroids": int(C.shape[0]), "dim": int(C.shape[1]),
                    "seed": seed, "id_col": id_col, "vec_col": vec_col,
                    "centroids": C.astype(float).tolist()}, f)
@@ -271,8 +292,7 @@ def ivf_topk(spark, path: str, queries: DataFrame, k: int = 10, *,
     ``nprobe`` trades recall for scan cost. Output:
     [q_id, rank, id, cosine]."""
     import json
-    import os
-    with open(os.path.join(path, "_ivf_index.json")) as f:
+    with open(_local_sidecar_path(path, "_ivf_index.json")) as f:
         p = json.load(f)
     C = np.asarray(p["centroids"], dtype=np.float32)
     assign = _ivf_assign_udf(C, nprobe=min(nprobe, p["n_centroids"]))

@@ -225,21 +225,42 @@ class TopKState:
     accuracy: float
     cms: CMSState
     candidates: dict[bytes, int] = field(default_factory=dict)
+    # True when any contributing partial compacted under a max_distinct
+    # cap (kernels.topk.CappedCounts): candidate counts for flushed-
+    # then-reappearing elements are then partial sums, so the
+    # exact=True read path is invalid and readers must re-estimate
+    # through the CMS (which holds every flushed count).
+    capped: bool = False
 
     def to_bytes(self) -> bytes:
         cms_bytes = self.cms.to_bytes()
         cand_blob = bytearray()
         for e, c in self.candidates.items():
             cand_blob += struct.pack("<IQ", len(e), c) + e
-        header = struct.pack("<BQddII", 1, self.k, self.error_rate,
-                             self.accuracy, len(cms_bytes), len(self.candidates))
+        # version 2 appends the capped flag byte; uncapped states keep
+        # writing version 1 so existing serialized states round-trip
+        # bit-identically
+        if self.capped:
+            header = struct.pack("<BQddIIB", 2, self.k, self.error_rate,
+                                 self.accuracy, len(cms_bytes),
+                                 len(self.candidates), 1)
+        else:
+            header = struct.pack("<BQddII", 1, self.k, self.error_rate,
+                                 self.accuracy, len(cms_bytes),
+                                 len(self.candidates))
         return _frame("topk", header, cms_bytes + bytes(cand_blob))
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "TopKState":
         kind, header, payload = _unframe(buf)
         assert kind == "topk"
-        _, k, er, acc, cms_len, n_cand = struct.unpack("<BQddII", header)
+        version = header[0]
+        if version >= 2:
+            _, k, er, acc, cms_len, n_cand, capped_b = struct.unpack(
+                "<BQddIIB", header)
+        else:
+            _, k, er, acc, cms_len, n_cand = struct.unpack("<BQddII", header)
+            capped_b = 0
         cms_state = CMSState.from_bytes(payload[:cms_len])
         cands: dict[bytes, int] = {}
         off = cms_len
@@ -248,27 +269,34 @@ class TopKState:
             off += 12
             cands[payload[off : off + elen]] = c
             off += elen
-        return cls(k, er, acc, cms_state, cands)
+        return cls(k, er, acc, cms_state, cands, capped=bool(capped_b))
 
     def to_json(self) -> str:
         """Reference ``{k,er,a,s,h,hk}`` — ``top_k.go:144-149``; heap
         entries ``{v,f}`` (``top_k.go:137-139``). Our candidate map
-        plays the heap's role (distributed extension, SURVEY.md T5)."""
+        plays the heap's role (distributed extension, SURVEY.md T5).
+        Capped builds add a ``capped`` key (absent = false, so uncapped
+        JSON stays reference-shaped)."""
         heap = [{"v": e.decode("utf-8", "surrogateescape"), "f": c}
                 for e, c in sorted(self.candidates.items())]
-        return json.dumps({"k": self.k, "er": self.error_rate, "a": self.accuracy,
-                           "s": json.loads(self.cms.to_json()), "h": heap, "hk": ""})
+        o = {"k": self.k, "er": self.error_rate, "a": self.accuracy,
+             "s": json.loads(self.cms.to_json()), "h": heap, "hk": ""}
+        if self.capped:
+            o["capped"] = True
+        return json.dumps(o)
 
     @classmethod
     def from_json(cls, s: str) -> "TopKState":
         o = json.loads(s)
         cms_state = CMSState.from_json(json.dumps(o["s"]))
         cands = {e["v"].encode("utf-8", "surrogateescape"): e["f"] for e in o["h"]}
-        return cls(o["k"], o["er"], o["a"], cms_state, cands)
+        return cls(o["k"], o["er"], o["a"], cms_state, cands,
+                   capped=bool(o.get("capped", False)))
 
     def equals(self, other: "TopKState") -> bool:
         return (self.k == other.k and self.cms.equals(other.cms)
-                and self.candidates == other.candidates)
+                and self.candidates == other.candidates
+                and self.capped == other.capped)
 
     def to_reference_binary(self) -> bytes:
         """``top_k.go:216-251`` WriteTo: uint64-BE k, float64-BE
@@ -278,8 +306,10 @@ class TopKState:
         from gostatix_spark.kernels import topk as topk_kernel
         out = [struct.pack(">Qdd", self.k, self.error_rate, self.accuracy),
                self.cms.to_reference_binary()]
+        # capped builds must re-estimate through the CMS — the exact
+        # candidate sums undercount flushed-then-reappearing elements
         top = topk_kernel.final_values(self.cms.matrix, self.candidates,
-                                       self.k, exact=True)
+                                       self.k, exact=not self.capped)
         for e, c in top:
             out.append(struct.pack(">Q", len(e)) + e + struct.pack(">Q", c))
         # reference writes exactly k entries; pad with empties if fewer

@@ -93,6 +93,19 @@ class TestHLLAgg:
         assert set(sub) == {("g0", "g1"), ("g1", "g2")}
         for k, row in sub.items():
             assert row == all_rows[k], k
+        # a requested pair with a sketch-less key is VISIBLE as a null
+        # row, never silently dropped (ADVICE r4: left-join semantics)
+        pairs2 = spark.createDataFrame([("g0", "g1"), ("g0", "ghost")],
+                                       "key_a string, key_b string")
+        rows2 = {(r["key_a"], r["key_b"]): r.asDict()
+                 for r in hll_intersect_pairs(states, "grp",
+                                              pairs=pairs2).collect()}
+        assert set(rows2) == {("g0", "g1"), ("g0", "ghost")}
+        ghost = rows2[("g0", "ghost")]
+        assert all(ghost[c] is None for c in
+                   ("est_a", "est_b", "est_union", "est_intersect",
+                    "est_jaccard"))
+        assert rows2[("g0", "g1")] == all_rows[("g0", "g1")]
 
     def test_partition_invariance_bytewise(self, spark, corpus):
         blobs = []
@@ -282,6 +295,16 @@ class TestTopKAgg:
         cp, pp = dict(got_c), dict(got_p)
         for e in cp:
             assert abs(cp[e] - pp[e]) <= 2 * eps_n, e
+        # the capped marker survives serialization + merge, and guards
+        # the exact=True fast path (ADVICE r4: no silent undercount)
+        from gostatix_spark.state import sketch_from_bytes
+        st_c = sketch_from_bytes(bytes(capped.collect()[0]["state"]))
+        st_p = sketch_from_bytes(bytes(plain.collect()[0]["state"]))
+        assert st_c.capped and not st_p.capped
+        with pytest.raises(Exception, match="capped"):
+            topk_values(capped, exact=True, decode="string").collect()
+        # uncapped exact path still works
+        topk_values(plain, exact=True, decode="string").collect()
 
 
 class TestCuckooAgg:

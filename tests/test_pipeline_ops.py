@@ -118,6 +118,26 @@ class TestSimHash:
                 dedup.simhash_near_pairs(sims, max_hamming=16).collect()}
         assert (100, 101) in full and (1, 2) in full
 
+    def test_eager_releases_signature_cache(self, spark):
+        """The default eager path must UNPERSIST the signature table
+        before returning (ADVICE r4): repeated calls in one session
+        must not accumulate pinned caches. The materialized pair set
+        stays readable after the release."""
+        df = spark.createDataFrame(
+            [(i, f"doc {i} " + "shared tail " * 10) for i in range(20)],
+            ["id", "text"])
+        sims = dedup.simhash(df, "text", "id")
+        out = dedup.simhash_near_pairs(sims, max_hamming=8)
+        lvl = sims.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), lvl
+        out.count()  # checkpointed result outlives the released cache
+
+        sims2 = dedup.simhash(df, "text", "id")
+        out2 = dedup.simhash_manku_pairs(sims2, max_hamming=6)
+        lvl2 = sims2.storageLevel
+        assert not (lvl2.useMemory or lvl2.useDisk), lvl2
+        out2.count()
+
     def test_manku_complete_at_hamming_6(self, spark):
         """Permuted-table probing (VERDICT r3 stretch): planted pairs
         at hamming 1-6 over random 64-bit signatures must ALL be found
@@ -359,6 +379,22 @@ class TestSimilarity:
             a2 = {r["vec_id"]: r["cid"] for r in
                   spark.read.parquet(p2).collect()}
             assert a1 == a2
+
+    def test_index_sidecar_rejects_object_store_paths(self, spark, emb):
+        """The JSON sidecars go through driver-local open(); a
+        non-local scheme must fail loudly up front (ADVICE r4), not
+        write the sidecar onto the driver's disk while the parquet
+        lands remotely."""
+        q = emb.limit(1).selectExpr("vec_id as q_id", "embedding as q_vec")
+        for fn in (lambda: similarity.build_ivf_index(
+                       emb, "s3://bucket/ivf", n_centroids=4, train_rows=50),
+                   lambda: similarity.ivf_topk(spark, "s3://bucket/ivf", q),
+                   lambda: similarity.build_lsh_index(
+                       emb, "hdfs://nn/lsh"),
+                   lambda: similarity.lsh_topk_indexed(
+                       spark, "hdfs://nn/lsh", q)):
+            with pytest.raises(ValueError, match="sidecar"):
+                fn()
 
 
 class TestTextStats:

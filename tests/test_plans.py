@@ -173,7 +173,8 @@ def test_simhash_manku_single_join(spark):
     sims = spark.createDataFrame(
         [(i, i * 2654435761 % (1 << 63)) for i in range(50)],
         "id long, simhash long")
-    plan = _plan(dedup.simhash_manku_pairs(sims, max_hamming=6))
+    plan = _plan(dedup.simhash_manku_pairs(sims, max_hamming=6,
+                                           eager=False))
     assert "Union" not in plan, plan
     n_joins = sum(plan.count(j) for j in
                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))

@@ -66,6 +66,25 @@ def test_topk_roundtrip():
                         {b"apple": 6, b"fig": 3})
     for s2 in (_roundtrip(s), state.TopKState.from_json(s.to_json())):
         assert s.equals(s2)
+        assert not s2.capped
+
+
+def test_topk_capped_flag_roundtrip():
+    """The capped marker (max_distinct compaction happened) must
+    survive both codecs; an uncapped state keeps the version-1 frame
+    byte-identically (backwards compat)."""
+    mat = cms.new_state(2, 100)
+    plain = state.TopKState(5, 0.001, 0.999,
+                            state.CMSState(2, 100, mat, 7), {b"a": 2})
+    capped = state.TopKState(5, 0.001, 0.999,
+                             state.CMSState(2, 100, mat, 7), {b"a": 2},
+                             capped=True)
+    assert state.TopKState.from_bytes(capped.to_bytes()).capped
+    assert state.TopKState.from_json(capped.to_json()).capped
+    assert not state.TopKState.from_bytes(plain.to_bytes()).capped
+    assert not plain.equals(capped)
+    # uncapped frame is the legacy version-1 layout
+    assert plain.to_bytes() != capped.to_bytes()
 
 
 def test_reference_binary_roundtrips():
