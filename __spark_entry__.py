@@ -237,6 +237,36 @@ def q_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("est_count").alias("cnt")))
 
 
+def q_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-BOUNDED Top-K over a near-unique string column — the
+    10⁹-distinct URL/doc-id workload shape (SURVEY.md T5 scale note):
+    ~14.7k distinct elements (10 planted heavy hitters over a
+    near-unique tail) against ``max_distinct=4096``, so every
+    partition's phase-1 accumulator COMPACTS several times
+    (``kernels/topk.py CappedCounts._compact`` — tail counts spill to
+    the partial's CMS, memory stays O(cap) regardless of column
+    cardinality). Read back in CMS-estimate mode (the capped contract;
+    exact=True raises on the capped state).
+
+    Oracle validity: the CMS is sized (eps=2e-5 ⇒ w=135,914 ≫ 14.7k
+    distinct) so the min-over-d=5-rows estimate equals the exact count
+    w.h.p. (all-5-rows-collide odds ≈ 1e-5 per key, and the hashing is
+    deterministic — verified against DuckDB at the driver's sf0.01),
+    making the exact GROUP BY a full value oracle: ranks, elements AND
+    counts."""
+    li = _read(spark, sf_dir, "lineitem")
+    elems = li.selectExpr(
+        "CASE WHEN l_partkey % 20 = 0"
+        " THEN concat('hot', cast(l_partkey % 200 as string))"
+        " ELSE concat('u', cast(l_orderkey % 20000 as string)) END AS elem") \
+        .repartition(32)  # single-file testdata → parallelize phase 1
+    states = sketch_agg(elems, "topk", "elem", k=10, eps=0.00002,
+                        slack=8, max_distinct=4096)
+    return (topk_values(states, exact=False, decode="string")
+            .select("rank", F.col("element").alias("elem"),
+                    F.col("est_count").alias("cnt")))
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHARDED bloom over all document ids, probe the same ids: a Bloom
     filter has NO false negatives, so `contained` is exactly TRUE for
@@ -713,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_partkeys": q_topk_partkeys,
         "topk_partkeys_cms": q_topk_partkeys_cms,
         "topk_words": q_topk_words,
+        "topk_capped": q_topk_capped,
         "bloom_membership": q_bloom_membership,
         "bloom_semijoin": q_bloom_semijoin,
         "cuckoo_membership": q_cuckoo_membership,
@@ -797,6 +828,17 @@ def oracle_sql() -> dict[str, str]:
             " SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC)"
             " AS rank, word, COUNT(*) AS cnt FROM w"
             " GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20"),
+        # capped Top-K: CMS width (135,914) ≫ 14.7k distinct elems ⇒
+        # estimates equal exact counts w.h.p. (deterministic hashing,
+        # verified at sf0.01) — the GROUP BY oracles values incl. counts
+        "topk_capped": (
+            "WITH e AS (SELECT CASE WHEN l_partkey % 20 = 0"
+            " THEN 'hot' || CAST(l_partkey % 200 AS VARCHAR)"
+            " ELSE 'u' || CAST(l_orderkey % 20000 AS VARCHAR) END AS elem"
+            " FROM lineitem)"
+            " SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, elem ASC)"
+            " AS rank, elem, COUNT(*) AS cnt FROM e"
+            " GROUP BY elem ORDER BY cnt DESC, elem ASC LIMIT 10"),
         "bloom_membership": (
             "SELECT doc_id, TRUE AS contained FROM documents"),
         "bloom_semijoin": (

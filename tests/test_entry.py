@@ -69,6 +69,27 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.columns) > 0
 
 
+def test_topk_capped_actually_compacts(spark):
+    """q_topk_capped must keep exercising CappedCounts._compact: the
+    driver-path build's serialized state carries the capped flag (set
+    only when a compaction fired), and the exact=True fast path is
+    refused on it."""
+    from gostatix_spark.agg import sketch_agg
+    from gostatix_spark.query import topk_values
+    from gostatix_spark.state import sketch_from_bytes
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    elems = li.selectExpr(
+        "CASE WHEN l_partkey % 20 = 0"
+        " THEN concat('hot', cast(l_partkey % 200 as string))"
+        " ELSE concat('u', cast(l_orderkey % 20000 as string)) END AS elem")
+    states = sketch_agg(elems, "topk", "elem", k=10, eps=0.00002,
+                        slack=8, max_distinct=4096)
+    st = sketch_from_bytes(bytes(states.collect()[0]["state"]))
+    assert st.capped
+    with pytest.raises(Exception, match="capped"):
+        topk_values(states, exact=True, decode="string").collect()
+
+
 def test_embedding_dedup_threshold_margin(ddb):
     """Oracle robustness guard (ADVICE r3): q_embedding_dedup's 0.35
     cosine threshold must sit ≥ 1e-6 away from every pair's cosine —
