@@ -61,6 +61,8 @@ from gostatix_spark.agg import _Spec, _build_partials, _merge_partials, \
 
 __all__ = ["incremental_sketch_sink", "sketch_stream_query",
            "load_sketch_state", "PointerStore", "LocalPointerStore",
+           "ObjectStorePointerStore", "ConditionalPutClient",
+           "InMemoryConditionalPutClient", "PreconditionFailed",
            "pointer_store_for"]
 
 
@@ -125,6 +127,119 @@ class LocalPointerStore(PointerStore):
             os.replace(tmp, os.path.join(self.state_path, "_LATEST"))
 
 
+class PreconditionFailed(RuntimeError):
+    """Conditional PUT rejected: the object's ETag/generation moved
+    between the caller's read and its write (HTTP 412)."""
+
+
+class ConditionalPutClient:
+    """Minimal client contract an object store must offer for the
+    pointer CAS — exactly the operations S3 (conditional writes,
+    ``If-Match``/``If-None-Match``, GA since 2024), GCS
+    (``x-goog-if-generation-match``) and Azure Blob (ETag access
+    conditions) all provide:
+
+    * ``get(key) -> (bytes, etag) | None`` — object body plus the
+      opaque version token the store will check writes against.
+    * ``put_if_match(key, data, etag) -> new_etag`` — write only if
+      the object's current token equals ``etag`` (``etag=None`` means
+      "only if the object does not exist", i.e. ``If-None-Match: *``);
+      raise :class:`PreconditionFailed` otherwise. The check-and-write
+      must be atomic SERVER-side — that atomicity is what replaces the
+      POSIX lock file.
+
+    A real S3/GCS adapter is a ~20-line subclass wrapping the vendor
+    SDK call; :class:`InMemoryConditionalPutClient` implements the
+    same contract for tests and local pipelines."""
+
+    def get(self, key: str):
+        raise NotImplementedError
+
+    def put_if_match(self, key: str, data: bytes, etag):
+        raise NotImplementedError
+
+
+class InMemoryConditionalPutClient(ConditionalPutClient):
+    """In-memory object store with If-Match semantics — the test
+    double for the CAS contract (and a zero-dependency store for
+    driver-local pipelines). ETags are monotonic integers; the
+    check-and-write runs under one lock, mirroring the server-side
+    atomicity the real stores guarantee."""
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self._objects: dict[str, tuple[bytes, int]] = {}
+        self._next_etag = 1
+
+    def get(self, key: str):
+        with self._lock:
+            got = self._objects.get(key)
+            return None if got is None else (got[0], got[1])
+
+    def put_if_match(self, key: str, data: bytes, etag):
+        with self._lock:
+            cur = self._objects.get(key)
+            cur_etag = None if cur is None else cur[1]
+            if cur_etag != etag:
+                raise PreconditionFailed(
+                    f"{key}: etag {cur_etag} != precondition {etag}")
+            new = self._next_etag
+            self._next_etag += 1
+            self._objects[key] = (bytes(data), new)
+            return new
+
+
+class ObjectStorePointerStore(PointerStore):
+    """PointerStore over any :class:`ConditionalPutClient` — the
+    object-store counterpart of :class:`LocalPointerStore`. There is
+    no lock file: atomicity comes from the store's conditional PUT.
+
+    CAS shape: ``commit`` reads ``(ptr, etag)``, verifies the
+    committed version equals ``expected_version``, then PUTs with
+    ``If-Match: etag``. A writer that lands between the read and the
+    PUT changes the etag, so the PUT fails server-side and surfaces
+    as :class:`ConcurrentCommitError` — the loser never clobbers the
+    winner, closing the TOCTOU window without any client-side
+    locking. A writer that crashes between read and commit writes
+    nothing, leaving the old pointer intact (commits are all-or-
+    nothing: version dirs + manifests land BEFORE the pointer flip,
+    so an unflipped pointer just means orphaned, retention-collected
+    files)."""
+
+    def __init__(self, client: ConditionalPutClient, key: str = "_LATEST"):
+        self.client = client
+        self.key = key
+
+    def read(self) -> dict | None:
+        got = self.client.get(self.key)
+        if got is None:
+            return None
+        try:
+            return json.loads(got[0].decode("utf-8"))
+        except ValueError:
+            return None
+
+    def commit(self, ptr: dict, expected_version: int | None) -> None:
+        got = self.client.get(self.key)
+        cur, etag = (None, None) if got is None else (
+            json.loads(got[0].decode("utf-8")), got[1])
+        cur_version = cur["version"] if cur else None
+        if cur_version != expected_version:
+            raise ConcurrentCommitError(
+                f"pointer {self.key!r} moved to version {cur_version}"
+                f" (expected {expected_version}) — another writer is"
+                " committing to this state_path")
+        try:
+            self.client.put_if_match(self.key,
+                                     json.dumps(ptr).encode("utf-8"), etag)
+        except PreconditionFailed as e:
+            raise ConcurrentCommitError(
+                f"pointer {self.key!r} changed between read and"
+                f" conditional put ({e}) — another writer won the CAS"
+            ) from e
+
+
 def pointer_store_for(state_path: str) -> PointerStore:
     """Pick the pointer-store implementation for a state path. Local
     paths (no scheme, or ``file:``) get :class:`LocalPointerStore`;
@@ -138,8 +253,9 @@ def pointer_store_for(state_path: str) -> PointerStore:
         " bucket/manifest layout already works on any Spark filesystem,"
         " but the _LATEST pointer flip needs a conditional-put"
         " implementation for this store (S3: If-Match PUT; GCS:"
-        " generation-match) — subclass PointerStore and pass it as"
-        " pointer_store=.")
+        " generation-match) — wrap your store's client in"
+        " ObjectStorePointerStore (a ~20-line ConditionalPutClient"
+        " adapter over the vendor SDK) and pass it as pointer_store=.")
 
 
 def _bucket_col(key_col: str | None, n_buckets: int):

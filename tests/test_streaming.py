@@ -265,3 +265,114 @@ def test_object_store_scheme_fails_loudly():
     from gostatix_spark.streaming import pointer_store_for
     with pytest.raises(ValueError, match="conditional-put"):
         pointer_store_for("s3://bucket/state")
+
+
+# ---------------------------------------------------------------------------
+# PointerStore CAS contract — shared by every implementation
+# ---------------------------------------------------------------------------
+
+
+def _store_factories(tmp):
+    from gostatix_spark.streaming import (InMemoryConditionalPutClient,
+                                          LocalPointerStore,
+                                          ObjectStorePointerStore)
+    return {
+        "posix": lambda: LocalPointerStore(f"{tmp}/state"),
+        "object": (lambda client=InMemoryConditionalPutClient():
+                   ObjectStorePointerStore(client)),
+    }
+
+
+@pytest.mark.parametrize("impl", ["posix", "object"])
+def test_pointer_store_cas_contract(impl):
+    """The contract every PointerStore must satisfy (VERDICT r4 #3):
+    fresh create only with expected_version=None; a stale
+    expected_version loses and leaves the winner's pointer intact; a
+    writer that crashes between read and commit changes nothing."""
+    from gostatix_spark.streaming import ConcurrentCommitError
+    with tempfile.TemporaryDirectory() as tmp:
+        store = _store_factories(tmp)[impl]()
+        assert store.read() is None
+        p1 = {"version": 1, "batch_id": 0, "n_state_buckets": 8,
+              "buckets": {}}
+        # create requires expected None; a wrong expectation fails
+        with pytest.raises(ConcurrentCommitError):
+            store.commit(p1, expected_version=7)
+        store.commit(p1, expected_version=None)
+        assert store.read()["version"] == 1
+        # double-create (two writers both saw "no pointer") → loser
+        with pytest.raises(ConcurrentCommitError):
+            store.commit({"version": 1, "batch_id": 99,
+                          "n_state_buckets": 8, "buckets": {}},
+                         expected_version=None)
+        assert store.read()["batch_id"] == 0  # winner intact
+        # normal advance
+        p2 = dict(p1, version=2, batch_id=1)
+        store.commit(p2, expected_version=1)
+        # concurrent writer with the stale version-1 read loses
+        with pytest.raises(ConcurrentCommitError):
+            store.commit(dict(p1, version=2, batch_id=77),
+                         expected_version=1)
+        assert store.read()["batch_id"] == 1
+        # crash between read and commit = no commit call: old pointer
+        # stays (nothing to assert beyond read stability)
+        assert store.read()["version"] == 2
+
+
+def test_object_store_cas_closes_toctou_window():
+    """The etag precondition must catch a writer that lands BETWEEN
+    this commit's read and its conditional put — the race the POSIX
+    flock serializes, which an object store must close server-side."""
+    from gostatix_spark.streaming import (ConcurrentCommitError,
+                                          InMemoryConditionalPutClient,
+                                          ObjectStorePointerStore)
+
+    class RacyClient(InMemoryConditionalPutClient):
+        def __init__(self):
+            super().__init__()
+            self.interloper = None
+
+        def put_if_match(self, key, data, etag):
+            if self.interloper is not None:
+                hook, self.interloper = self.interloper, None
+                hook()  # another writer commits first
+            return super().put_if_match(key, data, etag)
+
+    client = RacyClient()
+    store = ObjectStorePointerStore(client)
+    base = {"version": 1, "batch_id": 0, "n_state_buckets": 8,
+            "buckets": {}}
+    store.commit(base, expected_version=None)
+
+    winner = ObjectStorePointerStore(client)
+    client.interloper = lambda: winner.commit(
+        dict(base, version=2, batch_id=1), expected_version=1)
+    # loser read version 1 (valid!), but the winner lands before its
+    # put → precondition fails, surfaced as ConcurrentCommitError
+    with pytest.raises(ConcurrentCommitError):
+        store.commit(dict(base, version=2, batch_id=66),
+                     expected_version=1)
+    assert store.read()["batch_id"] == 1  # the winner's commit
+
+
+def test_sink_runs_against_object_store_pointer(spark):
+    """End-to-end: the streaming sink commits through the object-store
+    CAS exactly as through the POSIX one (stream==batch state bytes)."""
+    from gostatix_spark.streaming import (InMemoryConditionalPutClient,
+                                          ObjectStorePointerStore)
+    with tempfile.TemporaryDirectory() as tmp:
+        state = f"{tmp}/state"
+        store = ObjectStorePointerStore(InMemoryConditionalPutClient())
+        batch = spark.createDataFrame(
+            [("a",)] * 4 + [("b",)] * 2, "item string")
+        sink = incremental_sketch_sink("cms", "item", state,
+                                       element="string", d=3, w=64,
+                                       pointer_store=store)
+        sink(batch, 0)
+        sink(batch, 0)  # replay skipped
+        sink(batch, 1)
+        assert store.read()["version"] == 2
+        st = sketch_from_bytes(bytes(
+            load_sketch_state(spark, state,
+                              pointer_store=store).collect()[0]["state"]))
+        assert st.all_sum == 12
