@@ -277,13 +277,16 @@ class _Spec:
 
     element: str = "string"  # set by _build_partials before use
 
-    def update(self, acc, h1, h2, elems=None):
+    def update(self, acc, h1, h2, elems=None, weights=None):
         p = self.p
         if self.kind == "hll":
             hll.update_batch(acc[0], h1)
             acc[1] += len(h1)
         elif self.kind == "cms":
-            acc[1] += cms.update_batch(acc[0], h1, h2)
+            # weights = the reference's Update(data, count)
+            # (count_min_sketch.go:60) vectorized; only cms is linear
+            # in counts, so sketch_agg gates weight_col to this kind
+            acc[1] += cms.update_batch(acc[0], h1, h2, weights)
         elif self.kind == "bloom":
             bloom.insert_batch(acc[0], h1, h2, p["k"], p["m"])
             acc[1] += len(h1)
@@ -408,9 +411,12 @@ def _partial_schema(df: DataFrame, key_col: str | None) -> StructType:
 
 def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
                     key_col: str | None, element: str,
-                    skip_partitions: frozenset[int] = frozenset()) -> DataFrame:
+                    skip_partitions: frozenset[int] = frozenset(),
+                    weight_col: str | None = None) -> DataFrame:
     out_schema = _partial_schema(df, key_col)
     cols = ([key_col] if key_col else []) + [value_col]
+    if weight_col:
+        cols.append(weight_col)
     algo = spec.algo
     spec.element = element
     needs_elems = spec.needs_elements()
@@ -446,9 +452,17 @@ def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
             else:
                 h1, h2, rowmap = extract_hashes(varr, element, algo)
                 elems = None
+            if weight_col is not None:
+                wvals = batch.column(weight_col) \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+                # tokens explode per row: each token carries its row's
+                # weight (rowmap gathers the per-row weight per element)
+                welems = wvals if rowmap is None else wvals[rowmap]
+            else:
+                welems = None
             if key_col is None:
                 acc = accs.setdefault(None, spec.init())
-                spec.update(acc, h1, h2, elems)
+                spec.update(acc, h1, h2, elems, welems)
                 rows_by_key[None] = rows_by_key.get(None, 0) + batch.num_rows
             elif keyed_hll is not None:
                 keys = batch.column(key_col).to_pandas()
@@ -477,7 +491,8 @@ def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
                         grp = _select_elems(elems, sel)
                     else:
                         grp = None
-                    spec.update(acc, h1[sel], h2[sel], grp)
+                    spec.update(acc, h1[sel], h2[sel], grp,
+                                None if welems is None else welems[sel])
                     rows_by_key[key] = rows_by_key.get(key, 0) + int(
                         row_counts[g])
         out_rows = []
@@ -591,6 +606,7 @@ def sketch_agg(df: DataFrame, kind: str, value_col: str, *,
                key_col: str | None = None, element: str | None = None,
                tree_fanout: int | None = None,
                merge_buckets: int | None = None,
+               weight_col: str | None = None,
                _return_partials: bool = False, **sketch_params) -> DataFrame:
     """Build one mergeable sketch per key over ``df[value_col]``.
 
@@ -610,10 +626,24 @@ def sketch_agg(df: DataFrame, kind: str, value_col: str, *,
     ``kernels.topk.CappedCounts``). Capped builds must be read with
     ``topk_values(exact=False)`` (the reference's CMS-estimate
     semantics); the ``exact=True`` fast path assumes uncapped counts.
+
+    ``cms`` + ``weight_col=C``: each row adds ``C``, not 1 — the
+    reference's ``Update(data, count)`` (``count_min_sketch.go:60``)
+    vectorized. Because the CMS is linear in counts, building from a
+    pre-aggregated ``(key, count)`` table equals building from the raw
+    rows bit-for-bit — the one-scan path when an exact GROUP BY over
+    the same input is needed anyway. Only ``cms`` is count-linear, so
+    other kinds reject ``weight_col``.
     """
     element = infer_element(df, value_col, element)
     spec = _Spec.make(kind, **sketch_params)
-    partials = _build_partials(df, spec, value_col, key_col, element)
+    if weight_col is not None and kind != "cms":
+        raise ValueError(
+            f"weight_col is only meaningful for kind='cms' (the"
+            f" count-linear sketch; reference Update(data, count)) —"
+            f" got kind={kind!r}")
+    partials = _build_partials(df, spec, value_col, key_col, element,
+                               weight_col=weight_col)
     if _return_partials:
         return partials
     return _merge_partials(partials, key_col, tree_fanout, merge_buckets)

@@ -145,6 +145,35 @@ class TestCMSInnerProduct:
         true = 300
         assert true <= est <= true + (np.e / w) * 300 * 200, est
 
+    def test_weighted_build_equals_row_build_bytewise(self, spark):
+        """CMS linearity: building from a pre-aggregated (key, count)
+        table with weight_col must equal the raw-row build
+        BIT-FOR-BIT (the reference's Update(data, count),
+        count_min_sketch.go:60) — matrix, all_sum, and n_items."""
+        rows = spark.range(500).selectExpr("id % 37 AS k")
+        agg_tbl = rows.groupBy("k").agg(F.count("*").alias("cnt"))
+        plain = sketch_agg(rows, "cms", "k", element="int64", d=5, w=271)
+        weighted = sketch_agg(agg_tbl, "cms", "k", element="int64",
+                              d=5, w=271, weight_col="cnt")
+        b_plain = bytes(plain.collect()[0]["state"])
+        b_weighted = bytes(weighted.collect()[0]["state"])
+        assert b_plain == b_weighted
+        assert weighted.collect()[0]["n_items"] == 500
+        # keyed variant too
+        krows = spark.range(600).selectExpr("id % 3 AS g", "id % 41 AS k")
+        kagg = krows.groupBy("g", "k").agg(F.count("*").alias("cnt"))
+        p = {r["g"]: bytes(r["state"]) for r in
+             sketch_agg(krows, "cms", "k", key_col="g", element="int64",
+                        d=5, w=271).collect()}
+        w_ = {r["g"]: bytes(r["state"]) for r in
+              sketch_agg(kagg, "cms", "k", key_col="g", element="int64",
+                         d=5, w=271, weight_col="cnt").collect()}
+        assert p == w_
+        # gated to the count-linear kind
+        with pytest.raises(ValueError, match="weight_col"):
+            sketch_agg(agg_tbl, "hll", "k", element="int64", m=64,
+                       weight_col="cnt")
+
     def test_dim_mismatch_raises(self, spark):
         from gostatix_spark.query import cms_inner_product
         sa = sketch_agg(spark.range(10), "cms", "id", element="int64",
