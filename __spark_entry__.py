@@ -727,6 +727,38 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "rank", "vec_id"))
 
 
+def q_ann_ivf_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at nprobe=4 of 16 — the recall/cost trade the index exists
+    for, visible in the driver suite (VERDICT r4 #8): only the 4
+    nearest inverted lists per query are scanned (static cid partition
+    pruning), so recall < 1 by design → rows-only. The quantitative
+    recall floor is pytest-gated (tests/test_pipeline_ops.py). Reuses
+    q_ann_ivf's session-scoped index when its sidecar matches (the
+    amortized build-once-probe-many usage); rebuilds otherwise."""
+    import json
+    import os
+    import tempfile
+    emb = _read(spark, sf_dir, "embeddings").repartition(32)
+    queries = (emb.where("vec_id < 3")
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").cast("array<double>")
+                       .alias("q_vec")))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gostatix_ivf_{os.path.basename(sf_dir.rstrip('/'))}")
+    need_build = True
+    try:
+        with open(os.path.join(path, "_ivf_index.json")) as f:
+            p = json.load(f)
+        need_build = p.get("n_centroids") != 16
+    except (OSError, ValueError):
+        pass
+    if need_build:
+        similarity.build_ivf_index(emb, path, n_centroids=16,
+                                   train_rows=2000)
+    return (similarity.ivf_topk(spark, path, queries, k=5, nprobe=4)
+            .select("q_id", "rank", "vec_id"))
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (recall < 1 by design) — rows-only. dim is
     inferred worker-side from the vectors (no driver .first() sniff)."""
@@ -783,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_partial": q_ann_ivf_partial,
     }
 
 
