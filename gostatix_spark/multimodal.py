@@ -14,11 +14,16 @@ signatures) is real and tested. Decoding has two tiers:
   - ``zraw`` — zlib-compressed raw sample array (uint8 pixels / PCM
     bytes) whose shape lives in ``meta``; the minimal real codec used
     where no stdlib container exists (video sample streams).
+  - ``jpeg`` — baseline grayscale JFIF/JPEG via the pure-python
+    codec in :mod:`gostatix_spark.kernels.jpeg` (real markers,
+    Huffman entropy coding, DCT): lossy for general images, but the
+    constant-block transport (``jpeg.bytes_to_image``) is bit-exact,
+    which puts this leg under the byte-for-byte roundtrip oracle too.
 
-* codec ``fake`` — a STUB for formats needing external libs (JPEG /
-  FLAC / H.264): deterministic fake keyed on the payload bytes,
-  clearly marked. Swapping in PIL / torchaudio / pyav changes one
-  entry in :data:`DECODERS`, not the pipeline.
+* codec ``fake`` — a STUB for formats still needing external libs
+  (FLAC / H.264 / color+progressive JPEG): deterministic fake keyed
+  on the payload bytes, clearly marked. Swapping in torchaudio / pyav
+  changes one entry in :data:`DECODERS`, not the pipeline.
 
 Pattern: ``mapInPandas`` so one Python worker sees an iterator of
 row-batches and can bound its own memory (media rows are big — pair
@@ -115,23 +120,27 @@ def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256,
 
 def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Encode REAL table content into the asset model: each row's text
-    bytes become the samples of a real media payload — ids ≡ 0 (mod 3)
+    bytes become the samples of a real media payload — ids ≡ 0 (mod 4)
     a RIFF/WAVE 8-bit PCM file (stdlib ``wave``; opens in any audio
     tool), ids ≡ 1 a zlib ``zraw`` stream, ids ≡ 2 a binary netpbm
-    ``P5`` image (1×len pixel row; opens in ImageMagick/GIMP) — with
-    the sample count/shape in ``meta``. This is the encode half of a
-    genuinely round-trippable pipeline: decoding the assets must
-    reproduce the source column byte-for-byte, which puts ALL THREE
-    real codec paths (WAV container parse, zlib inflate, PGM header
-    parse) under a DuckDB oracle
-    (``__spark_entry__.q_multimodal_roundtrip``)."""
+    ``P5`` image (1×len pixel row; opens in ImageMagick/GIMP), ids ≡ 3
+    a baseline grayscale JPEG (pure-python codec; bytes spread over
+    constant 8×8 blocks, the losslessly-codable representation — the
+    file opens in any image viewer) — with the sample count/shape in
+    ``meta``. This is the encode half of a genuinely round-trippable
+    pipeline: decoding the assets must reproduce the source column
+    byte-for-byte, which puts ALL FOUR real codec paths (WAV container
+    parse, zlib inflate, PGM header parse, JPEG Huffman+IDCT) under a
+    DuckDB oracle (``__spark_entry__.q_multimodal_roundtrip``)."""
     def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
+
+        from gostatix_spark.kernels import jpeg as jpeg_kernel
         for pdf in pdfs:
             rows = []
             for aid, t in zip(pdf[id_col], pdf[text_col]):
                 b = t.encode("utf-8")
-                route = int(aid) % 3 if b else 1  # P5/WAV need ≥1 sample
+                route = int(aid) % 4 if b else 1  # P5/WAV need ≥1 sample
                 meta = {"n_samples": str(len(b))}
                 if route == 0:
                     kind, codec = "audio", "wav"
@@ -141,6 +150,11 @@ def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     media = _pgm_bytes(
                         np.frombuffer(b, dtype=np.uint8).reshape(1, len(b)))
                     meta = {"height": "1", "width": str(len(b))}
+                elif route == 3:
+                    kind, codec = "image", "jpeg"
+                    img, n = jpeg_kernel.bytes_to_image(b)
+                    media = jpeg_kernel.encode_gray(img)
+                    meta = {"n_samples": str(n), "transport": "blocks"}
                 else:
                     kind, codec = "video", "zraw"
                     media = zlib.compress(b)
@@ -282,9 +296,30 @@ def _zraw_raw(media: bytes, meta: dict) -> np.ndarray:
     return raw
 
 
+def _jpeg_raw(media: bytes, meta: dict) -> np.ndarray:
+    """REAL image decode: full baseline-JPEG parse (markers, Huffman,
+    dequantize, IDCT — :mod:`gostatix_spark.kernels.jpeg`), validated
+    against the typed metadata. ``transport='blocks'`` assets carry
+    one byte per constant 8×8 block (the lossless representation) and
+    decode back to the byte stream; plain jpeg assets return the
+    (h, w) pixel grid."""
+    from gostatix_spark.kernels import jpeg as jpeg_kernel
+    img = jpeg_kernel.decode_gray(bytes(media))
+    if meta.get("transport") == "blocks":
+        n = int(meta["n_samples"])
+        return np.frombuffer(jpeg_kernel.image_to_bytes(img, n),
+                             dtype=np.uint8)
+    h, w = img.shape
+    if "height" in meta and (int(meta["height"]), int(meta["width"])) != (h, w):
+        raise ValueError(f"JPEG frame {w}x{h} contradicts meta"
+                         f" {meta['width']}x{meta['height']}")
+    return img
+
+
 # codec → raw-sample decoder (REAL paths only — each parses its actual
 # container format, validates, and fails loudly; no fallback to a fake)
-RAW_DECODERS = {"zraw": _zraw_raw, "wav": _wav_raw, "pgm": _pgm_raw}
+RAW_DECODERS = {"zraw": _zraw_raw, "wav": _wav_raw, "pgm": _pgm_raw,
+                "jpeg": _jpeg_raw}
 
 
 def _raw_decode(media: bytes, meta: dict) -> np.ndarray:
@@ -303,19 +338,20 @@ def _real_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
 
 
 def _fake_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
-    """STUB — deterministic fake 'decoder' for codecs needing external
-    libraries (JPEG/FLAC/H.264): folds the payload bytes into a feature
-    vector. A real deployment replaces this with PIL/torchaudio/pyav
-    decoding; everything around it stays."""
+    """STUB — deterministic fake 'decoder' for codecs still needing
+    external libraries (FLAC/H.264/color+progressive JPEG): folds the
+    payload bytes into a feature vector. A real deployment replaces
+    this with torchaudio/pyav decoding; everything around it stays."""
     return _pool_features(np.frombuffer(media, dtype=np.uint8), out_dim)
 
 
 # codec → feature decoder. 'wav' (RIFF/WAVE PCM via stdlib wave),
-# 'pgm' (binary netpbm P5) and 'zraw' (zlib raw samples) are real
-# decodes; 'fake' is the declared stub for container-unavailable
-# media libraries (JPEG/FLAC/H.264).
+# 'pgm' (binary netpbm P5), 'jpeg' (pure-python baseline decoder) and
+# 'zraw' (zlib raw samples) are real decodes; 'fake' is the declared
+# stub for container-unavailable media libraries (FLAC/H.264).
 DECODERS = {"zraw": _real_decode, "wav": _real_decode,
-            "pgm": _real_decode, "fake": _fake_decode}
+            "pgm": _real_decode, "jpeg": _real_decode,
+            "fake": _fake_decode}
 
 
 def decode_features(df: DataFrame, out_dim: int = 16) -> DataFrame:

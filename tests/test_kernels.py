@@ -454,3 +454,79 @@ class TestCappedTopK:
         for e in want:
             assert e in got, e
             assert abs(got[e] - dict(top_p)[e]) <= 2 * eps_n, e
+
+
+class TestJPEG:
+    """Pure-python baseline JPEG codec (kernels/jpeg.py, ITU-T T.81).
+    The multimodal 'jpeg' leg depends on the constant-block transport
+    being BIT-exact; the general decoder is exercised separately."""
+
+    def test_constant_block_transport_bit_exact(self):
+        from gostatix_spark.kernels import jpeg
+        rng = np.random.default_rng(3)
+        for n in (1, 7, 63, 64, 300, 1000):
+            payload = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            img, n_bytes = jpeg.bytes_to_image(payload)
+            back = jpeg.decode_gray(jpeg.encode_gray(img))
+            assert np.array_equal(back, img), n
+            assert jpeg.image_to_bytes(back, n_bytes) == payload
+        # extreme DC swings: alternating 0/255 drives diffs of ±2040
+        # (category 11, the largest a baseline DC table carries)
+        payload = bytes([0, 255] * 50)
+        img, n_bytes = jpeg.bytes_to_image(payload)
+        back = jpeg.decode_gray(jpeg.encode_gray(img))
+        assert jpeg.image_to_bytes(back, n_bytes) == payload
+        # empty payload → one zero block, 0 bytes back
+        img0, n0 = jpeg.bytes_to_image(b"")
+        assert jpeg.image_to_bytes(
+            jpeg.decode_gray(jpeg.encode_gray(img0)), n0) == b""
+
+    def test_general_image_near_lossless_with_unit_quant(self):
+        from gostatix_spark.kernels import jpeg
+        rng = np.random.default_rng(9)
+        for shape in ((8, 8), (24, 24), (61, 45)):  # incl. non-×8 dims
+            g = rng.integers(0, 256, shape, dtype=np.uint8)
+            dec = jpeg.decode_gray(jpeg.encode_gray(g))
+            assert dec.shape == g.shape
+            # unit quant: only DCT float rounding — within ±3 greylevels
+            assert np.abs(dec.astype(int) - g.astype(int)).max() <= 3
+
+    def test_zero_runs_and_zrl(self):
+        """Sparse blocks drive EOB and ZRL (16-zero run) paths."""
+        from gostatix_spark.kernels import jpeg
+        g = np.zeros((16, 16), dtype=np.uint8)
+        g[3, 9] = 255   # one spike per block region
+        g[12, 2] = 7
+        dec = jpeg.decode_gray(jpeg.encode_gray(g))
+        assert np.abs(dec.astype(int) - g.astype(int)).max() <= 3
+
+    def test_quantized_encode_decodes(self):
+        from gostatix_spark.kernels import jpeg
+        rng = np.random.default_rng(4)
+        g = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        q = np.clip(np.arange(1, 65) // 2 + 1, 1, 24).astype(np.uint8)
+        dec = jpeg.decode_gray(jpeg.encode_gray(g, quant=q))
+        # lossy, but bounded: worst-case error ≤ Σ q/2 per pixel bound
+        # is loose; assert something meaningful for this table
+        assert np.abs(dec.astype(int) - g.astype(int)).mean() < 16
+
+    def test_rejects_unsupported_streams(self):
+        from gostatix_spark.kernels import jpeg
+        img, _ = jpeg.bytes_to_image(b"ok")
+        enc = bytearray(jpeg.encode_gray(img))
+        # not a JPEG
+        with pytest.raises(ValueError, match="SOI"):
+            jpeg.decode_gray(b"\x00\x01")
+        # progressive (SOF2 instead of SOF0)
+        sof = bytes(enc).find(b"\xff\xc0")
+        prog = bytes(enc[:sof + 1]) + b"\xc2" + bytes(enc[sof + 2:])
+        with pytest.raises(ValueError, match="baseline"):
+            jpeg.decode_gray(prog)
+        # color (3 components claimed in SOF0)
+        bad = bytearray(enc)
+        bad[sof + 9] = 3  # ncomp byte: len(2)+prec(1)+h(2)+w(2) after marker
+        with pytest.raises(ValueError, match="component"):
+            jpeg.decode_gray(bytes(bad))
+        # truncated entropy stream (EOI gone)
+        with pytest.raises(ValueError, match="EOI"):
+            jpeg.decode_gray(bytes(enc[:-2]))

@@ -466,17 +466,23 @@ class TestMultimodal:
 
     def test_text_assets_roundtrip_and_validation(self, spark):
         """text → asset → decode_payloads reproduces the source bytes
-        through ALL THREE real codecs (wav/zraw/pgm, routed id mod 3;
-        empty text falls back to zraw — P5/WAV need ≥1 sample);
-        corrupt n_samples metadata fails loudly."""
+        through ALL FOUR real codecs (wav/zraw/pgm/jpeg, routed id
+        mod 4; empty text falls back to zraw — P5/WAV/JPEG need ≥1
+        sample); corrupt n_samples metadata fails loudly."""
         rows = [(0, "wav leg bytes"), (1, "hello multimodal world"),
-                (2, "pgm leg größere zeichen ÄÖÜ"), (3, ""), (5, "p5!")]
+                (2, "pgm leg größere zeichen ÄÖÜ"), (3, "jpeg leg bytes"),
+                (4, ""), (6, "p5!"), (7, "second jpeg leg")]
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         assets = multimodal.text_assets(df, "text", "doc_id")
         codecs = {r["asset_id"]: r["meta"]["codec"]
                   for r in assets.collect()}
-        assert codecs == {0: "wav", 1: "zraw", 2: "pgm", 3: "zraw",
-                          5: "pgm"}
+        assert codecs == {0: "wav", 1: "zraw", 2: "pgm", 3: "jpeg",
+                          4: "zraw", 6: "pgm", 7: "jpeg"}
+        # the jpeg leg is a REAL file: SOI/JFIF/EOI markers present
+        jb = next(bytes(r["media"]) for r in assets.collect()
+                  if r["asset_id"] == 3)
+        assert jb[:2] == b"\xff\xd8" and jb[-2:] == b"\xff\xd9"
+        assert b"JFIF" in jb[:20]
         got = {r["asset_id"]: bytes(r["payload"]) for r in
                multimodal.decode_payloads(assets).collect()}
         for i, t in rows:
