@@ -251,6 +251,26 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
             ws = sorted(walls[cs])
             return float("inf") if len(ws) < 2 else ws[1] / ws[0] - 1.0
 
+        floors_hist = ledger_floors()
+
+        def level_ok(cs: int) -> bool:
+            """A level's capability counts as REPRODUCED when either
+            (a) its two best in-run samples agree within 3%, or
+            (b) this run's min lands within 3% of the ledger's
+            historical capability floor — corroboration by an
+            independent prior execution, which is at least as strong
+            as two samples from the same run (the r4 driver run showed
+            two same-window samples can both be inflated and still
+            pass the in-run check). Using the ledger this way cannot
+            bias the estimate: the reported wall is still this run's
+            own min, and the ledger only CONFIRMS it, never replaces
+            it."""
+            if gap(cs) <= 0.03:
+                return True
+            f = floors_hist.get(cs)
+            return (f is not None and walls[cs]
+                    and min(walls[cs]) <= f * 1.03)
+
         def wait_for_quiet(max_wait: float = 300.0,
                            threshold: float = 2.5) -> None:
             """Hold off starting a session pair while the host is
@@ -343,7 +363,7 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                 # r4 driver run bought 8 hi sessions (floor reproduced
                 # by #3) while the lo level never escaped interference.
                 if (cores == hi_ and pairs_done >= min_pairs
-                        and gap(hi_) <= 0.03):
+                        and level_ok(hi_)):
                     continue
                 elapsed = time.perf_counter() - t_sched
                 need = sess_cost.get(cores, 0.0)
@@ -377,16 +397,17 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
             # pair median below — converged refers to the instrument,
             # never to accepting a >1 number.
             converged = (pairs_done >= min_pairs
-                         and gap(lo_) <= 0.03 and gap(hi_) <= 0.03
+                         and level_ok(lo_) and level_ok(hi_)
                          and eff_now() <= 1.05)
-            # the lo-plateau signature: both gaps closed but the ratio
-            # sits above the structural band — every lo sample landed in
-            # the same interference plateau (two equally-inflated
-            # samples pass the 3% check while the hi floor proves quiet
-            # windows exist). Full pairs can't fix that; hand the
-            # remaining budget to the targeted retry loop below.
+            # the lo-plateau signature: both floors "reproduced" but
+            # the ratio sits above the structural band — every lo
+            # sample landed in the same interference plateau (two
+            # equally-inflated samples pass the 3% check while the hi
+            # floor proves quiet windows exist). Full pairs can't fix
+            # that; hand the remaining budget to the targeted retry
+            # loop below.
             plateau = (pairs_done >= min_pairs
-                       and gap(lo_) <= 0.03 and gap(hi_) <= 0.03
+                       and level_ok(lo_) and level_ok(hi_)
                        and eff_now() > 1.05)
             if converged or plateau or elapsed > budget:
                 out["converged"] = bool(converged)
@@ -418,10 +439,10 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
             if floors:
                 print(f"#   scaling retry: historical capability floors "
                       f"{ {f'c{c}': v for c, v in sorted(floors.items())} } "
-                      f"(target band; stop rule stays ratio+gap)",
+                      f"(corroboration band: a level min within 3% counts as reproduced)",
                       flush=True)
             for _ in range(8):
-                stale = [c for c in (hi_, lo_) if gap(c) > 0.03]
+                stale = [c for c in (hi_, lo_) if not level_ok(c)]
                 plateau_now = not stale and eff_now() > 1.05
                 if not stale and not plateau_now:
                     break
@@ -440,12 +461,18 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                 wait_for_quiet(max_wait=240.0 if plateau_now else 60.0,
                                threshold=2.0 if plateau_now else 2.5)
                 run_session(cores, "retry")
-            converged = (gap(lo_) <= 0.03 and gap(hi_) <= 0.03
+            converged = (level_ok(lo_) and level_ok(hi_)
                          and eff_now() <= 1.05)
             if converged:
                 out["converged"] = True
                 print(f"#   scaling converged after targeted retry "
                       f"({time.perf_counter() - t_sched:.0f}s)", flush=True)
+        # record HOW each level's floor was reproduced (in-run two-best
+        # agreement vs corroboration by the ledger's historical floor)
+        out["floor_reproduction"] = {
+            f"c{c}": ("in-run" if gap(c) <= 0.03 else
+                      "ledger" if level_ok(c) else "open")
+            for c in pair}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # Statistic: co-tenant interference on this shared VM is strictly
@@ -474,7 +501,9 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                        "pass; min across reps per level (additive-noise "
                        "capability estimate); hi sessions skipped once hi "
                        "floor reproduced; targeted retry for the blocking "
-                       "level (incl. lo-plateau rescue when eff > 1.05)")
+                       "level (incl. lo-plateau rescue when eff > 1.05); "
+                       "floor reproduction = two-best in-run <=3% OR min "
+                       "within 3% of ledger's cross-run capability floor")
     per_rep_eff = [round((lo_w / hi_w) / (hi / lo), 3)
                    for lo_w, hi_w in pair_walls]
     out["per_rep_efficiency"] = per_rep_eff
@@ -565,7 +594,7 @@ def main() -> None:
                 "headline_statistic", f"wall_sec_c{lo}", f"wall_sec_c{hi}",
                 f"tput_tokens_per_sec_c{lo}", f"tput_tokens_per_sec_c{hi}",
                 "n_tokens", "n_docs", "pair", "lo_walls_inflated",
-                "structural_superlinearity"]
+                "structural_superlinearity", "floor_reproduction"]
         compact["scaling"] = {k: sc[k] for k in keep if k in sc}
         compact["scaling"]["n_sessions"] = {
             str(c): len(sc[f"wall_runs_c{c}"]) for c in sc["pair"]}
