@@ -251,6 +251,33 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
             ws = sorted(walls[cs])
             return float("inf") if len(ws) < 2 else ws[1] / ws[0] - 1.0
 
+        def ledger_floors() -> dict[int, float]:
+            """Historical per-level capability walls for this corpus size
+            from BENCH/scaling_ledger.json — printed as the retry target
+            so the operator can see how far the current mins sit from
+            reproduced capability. The STOP rule never uses them (it is
+            the ratio + two-best gap), so a stale floor cannot bias the
+            estimate; extra sessions only ever move a min down."""
+            try:
+                with open(os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)),
+                        "BENCH", "scaling_ledger.json")) as f:
+                    led = json.load(f)
+                floors: dict[int, float] = {}
+                for ex in led.get("executions", []):
+                    # entries carrying their own "corpus" note measured a
+                    # non-default corpus size — their walls don't compare
+                    if "corpus" in ex:
+                        continue
+                    ws = ex.get("floors") or ex.get("capability_walls") or {}
+                    for k, v in ws.items():
+                        c = int(k.lstrip("c"))
+                        if c in pair and isinstance(v, (int, float)):
+                            floors[c] = min(floors.get(c, float("inf")), v)
+                return floors
+            except (OSError, ValueError, KeyError):
+                return {}
+
         floors_hist = ledger_floors()
 
         def level_ok(cs: int) -> bool:
@@ -300,32 +327,6 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
         # to not START a session the budget can't finish
         sess_cost: dict[int, float] = {}
 
-        def ledger_floors() -> dict[int, float]:
-            """Historical per-level capability walls for this corpus size
-            from BENCH/scaling_ledger.json — printed as the retry target
-            so the operator can see how far the current mins sit from
-            reproduced capability. The STOP rule never uses them (it is
-            the ratio + two-best gap), so a stale floor cannot bias the
-            estimate; extra sessions only ever move a min down."""
-            try:
-                with open(os.path.join(os.path.dirname(
-                        os.path.abspath(__file__)),
-                        "BENCH", "scaling_ledger.json")) as f:
-                    led = json.load(f)
-                floors: dict[int, float] = {}
-                for ex in led.get("executions", []):
-                    # entries carrying their own "corpus" note measured a
-                    # non-default corpus size — their walls don't compare
-                    if "corpus" in ex:
-                        continue
-                    ws = ex.get("floors") or ex.get("capability_walls") or {}
-                    for k, v in ws.items():
-                        c = int(k.lstrip("c"))
-                        if c in pair and isinstance(v, (int, float)):
-                            floors[c] = min(floors.get(c, float("inf")), v)
-                return floors
-            except (OSError, ValueError, KeyError):
-                return {}
 
         def run_session(cores: int, label: str) -> None:
             t0 = time.perf_counter()
