@@ -43,6 +43,9 @@ def _run_driver_queries(sf_dir: str, cores: int) -> tuple[dict, float]:
         timings[name] = round(dt, 3)
         total += dt
         print(f"#   {name}: {dt:.2f}s ({n} rows)", flush=True)
+        # release SQL caches a query persisted for its own shared
+        # subtrees — per-query isolation, no cross-query accumulation
+        spark.catalog.clearCache()
     spark.stop()
     return timings, total
 
