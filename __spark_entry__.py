@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from gostatix_spark import dedup, params, sampling, similarity, textstats
 from gostatix_spark.agg import (bloom_build_sharded, cuckoo_apply_removals,
@@ -469,6 +469,14 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_features(docs, "text", "doc_id")
 
 
+def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (textstats.py
+    repetition_features): per-doc distinct-word / top-word / top- and
+    dup-bigram fractions, all relational and doc-id-keyed."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.repetition_features(docs, "text", "doc_id")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return textstats.language_id(docs, "text", "doc_id") \
@@ -645,6 +653,25 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group clustering: connected components (alternating
+    large/small-star, dedup.connected_components) over the oracled
+    embedding-cosine near-dup pairs of q:embedding_dedup — the step
+    that turns pairwise near-dups into keep-one-per-group decisions.
+    The sf0.01 graph is non-trivial (~270 edges, ~75 components,
+    largest ~59 nodes, diameter >> 1), so the star contraction
+    genuinely iterates. Oracle: DuckDB recursive-CTE transitive
+    closure over the same pair predicate — component = min reachable
+    id; cluster_size via a window, making both the labels AND the
+    group shapes value-checked."""
+    pairs = q_embedding_dedup(spark, sf_dir)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("component")
+    return cc.select(F.col("node").alias("vec_id"),
+                     F.col("component").alias("cluster_id"),
+                     F.count("*").over(w).alias("cluster_size"))
+
+
 def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for the same operator: hyperplane-signature chunk
     candidates → exact cosine verify (recall < 1 by design → rows-only;
@@ -800,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_manku": q_simhash_manku,
         "token_stats": q_token_stats,
         "quality_features": q_quality_features,
+        "repetition_features": q_repetition_features,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "scrub_pii": q_scrub_pii,
@@ -812,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "reservoir_sample": q_reservoir_sample,
         "embedding_dedup": q_embedding_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -954,6 +983,47 @@ def oracle_sql() -> dict[str, str]:
             " round(length(text) / len(string_split(text, ' ')), 6)"
             "   AS mean_word_len"
             " FROM documents"),
+        "repetition_features": ("""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ), wc AS (
+              SELECT doc_id, word, count(*) AS c
+              FROM tok GROUP BY doc_id, word
+            ), wagg AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     count(*) AS n_distinct, max(c) AS top_w
+              FROM wc GROUP BY doc_id
+            ), bg AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word) OVER
+                       (PARTITION BY doc_id ORDER BY pos) AS bigram
+              FROM tok
+            ), bgc AS (
+              SELECT doc_id, bigram, count(*) AS c
+              FROM bg WHERE bigram IS NOT NULL GROUP BY doc_id, bigram
+            ), bagg AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                     max(c) AS top_b,
+                     CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                       AS dup_b
+              FROM bgc GROUP BY doc_id
+            )
+            SELECT wagg.doc_id, n_words,
+                   round(n_distinct / n_words, 6) AS distinct_word_frac,
+                   round(top_w / n_words, 6) AS top_word_frac,
+                   CASE WHEN n_bigrams IS NULL OR n_bigrams = 0
+                        THEN CAST(0.0 AS DOUBLE)
+                        ELSE round(top_b / n_bigrams, 6)
+                   END AS top_bigram_frac,
+                   CASE WHEN n_bigrams IS NULL OR n_bigrams = 0
+                        THEN CAST(0.0 AS DOUBLE)
+                        ELSE round(dup_b / n_bigrams, 6)
+                   END AS dup_bigram_frac
+            FROM wagg LEFT JOIN bagg ON wagg.doc_id = bagg.doc_id
+        """),
         "lang_id": (
             "SELECT doc_id, " + lang_case + " AS lang_guess FROM ("
             "SELECT doc_id, " +
@@ -1031,6 +1101,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        """),
+        "dedup_clusters": ("""
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 1200
+            ), p AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            ), edges AS (
+              SELECT ia AS s, ib AS t FROM p
+              UNION ALL SELECT ib, ia FROM p
+            ), reach(node, r) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT edges.t, reach.r
+              FROM reach JOIN edges ON edges.s = reach.node
+            ), labels AS (
+              SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+            )
+            SELECT node AS vec_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM labels
         """),
         "ann_bruteforce": ("""
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec

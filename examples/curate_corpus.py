@@ -4,8 +4,9 @@ this library's operators:
 
 1. exact dedup (md5 hash-agg — one shuffle, pure JVM);
 2. near-dedup via MinHash+LSH (banded candidates, inline signature
-   prefilter, exact-Jaccard verify) — drops the lower-id survivor of
-   every pair at/over the threshold;
+   prefilter, exact-Jaccard verify) → connected components
+   (large/small-star) → keep the min-id canonical doc per duplicate
+   cluster;
 3. quality filter (JVM expressions: stopword/punct ratios, length);
 4. weighted source mix (deterministic md5 draws — reproducible on any
    cluster size / retry, zero shuffle);
@@ -78,11 +79,17 @@ def main() -> None:
         .select(F.col("keep_id").alias(id_c))
     docs = docs.join(keepers, id_c, "left_semi")
 
-    # 2. near-dedup: drop the HIGHER id of every verified near-pair
-    # (pairs shuffle only ids — the doc table is filtered by anti-join)
+    # 2. near-dedup: verified near-pairs → connected components →
+    # keep ONE canonical doc (the min id) per duplicate cluster.
+    # Cluster-canonical beats per-pair drops: with a chain A~B, B~C
+    # the pairwise rule deletes both B and C, over-deleting when only
+    # the chain links are near-dups; CC keeps exactly one survivor
+    # per transitive group. Pairs and CC edges shuffle only ids.
     pairs = dedup.minhash_dedup_pairs(docs, txt_c, id_c,
                                       threshold=args.near_dup_threshold)
-    losers = pairs.select(F.col("id_b").alias(id_c)).distinct()
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    losers = cc.where(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_c))
     docs = docs.join(losers, id_c, "left_anti")
 
     # 3. quality gate (all JVM expressions — no Python in the scan)

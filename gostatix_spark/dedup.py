@@ -34,7 +34,7 @@ from gostatix_spark import hashing
 __all__ = ["exact_dedup", "minhash_signatures", "lsh_candidate_pairs",
            "minhash_dedup_pairs", "simhash", "simhash_near_pairs",
            "simhash_manku_pairs", "ngram_jaccard_pairs",
-           "embedding_dedup_pairs"]
+           "embedding_dedup_pairs", "connected_components"]
 
 _MERSENNE = (1 << 61) - 1
 _P61 = np.uint64(_MERSENNE)
@@ -607,3 +607,90 @@ def embedding_dedup_pairs(emb: DataFrame, id_col: str = "vec_id",
             .withColumn("cosine", dot)
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b", max_iter: int = 25
+                         ) -> DataFrame:
+    """Connected components over an undirected edge list — the cluster
+    step of a dedup pipeline (near-dup pairs → duplicate groups →
+    keep one canonical doc per group).
+
+    Algorithm: alternating **large-star / small-star** contractions
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    ACM SoCC 2014) — each round is two node-keyed shuffles (a groupBy
+    computing every node's minimum neighbour and an equi-join
+    scattering it back), and the edge set provably contracts to star
+    forests (every node → its component's minimum id) in O(log²ⁿ)
+    rounds. This is the 100-TB-safe choice over naive min-label
+    propagation, whose round count is the graph DIAMETER (a duplicate
+    chain of length k needs k rounds; large/small-star needs ~log k).
+
+    The loop stops on the deterministic star test — no node appears as
+    both a member (``u``) and a centre (``v``), and no member has two
+    centres — i.e. both transformations are no-ops, NOT on a
+    probabilistic checksum. Edge state is ``localCheckpoint()``-ed per
+    round so lineage stays O(1) across iterations instead of doubling
+    the plan each round.
+
+    Returns one row per non-isolated node: ``(node, component)`` with
+    ``component`` = the smallest node id in its component. Callers
+    wanting isolated nodes labelled too should left-join this onto
+    their node list and coalesce to the node id.
+    """
+    # canonical down-pointing form: (u, v) with u > v, deduped
+    e = (pairs.select(F.col(a_col).cast("long").alias("x"),
+                      F.col(b_col).cast("long").alias("y"))
+              .where(F.col("x") != F.col("y"))
+              .select(F.greatest("x", "y").alias("u"),
+                      F.least("x", "y").alias("v"))
+              .distinct()
+              .localCheckpoint())
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        # for every node n: m = min(N(n) ∪ {n}); emit (w, m) for each
+        # neighbour w > n. Needs the symmetric neighbour view.
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                   .select("u", F.least("u", "mn").alias("m")))
+        return (sym.join(mins, "u")
+                   .where(F.col("v") > F.col("u"))
+                   .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                   .where(F.col("u") != F.col("v"))
+                   .distinct())
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        # canonical edges group by u = exactly the smaller neighbours
+        # N⁻(u); m = min(N⁻(u)); emit (w, m) for w ∈ N⁻(u)\{m} plus
+        # (u, m) itself.
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        return (edges.join(mins, "u")
+                     .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                     .where(F.col("u") != F.col("v"))
+                     .union(mins.select("u", F.col("m").alias("v")))
+                     .distinct())
+
+    for _ in range(max_iter):
+        # star test: members (u) and centres (v) disjoint, one centre
+        # per member — equivalently both stars are no-ops
+        centers = e.select("v").distinct()
+        n_cross = (e.select(F.col("u").alias("v")).distinct()
+                    .join(centers, "v", "left_semi").count())
+        n_multi = (e.groupBy("u").agg(F.countDistinct("v").alias("k"))
+                    .where(F.col("k") > 1).count())
+        if n_cross == 0 and n_multi == 0:
+            break
+        e = small_star(large_star(e)).localCheckpoint()
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large+small-star rounds — the paper bound is O(log² n); "
+            "raise max_iter only if the input really has ~2^(sqrt("
+            f"{max_iter})) nodes")
+
+    centers = e.select(F.col("v").alias("node"),
+                       F.col("v").alias("component")).distinct()
+    members = e.select(F.col("u").alias("node"),
+                       F.col("v").alias("component"))
+    return members.union(centers)

@@ -105,17 +105,27 @@ class IntCounts:
 
 
 class BytesCounts:
-    """Vectorized exact counts for string/binary elements: each Arrow
+    """Vectorized exact counts for string/binary elements. Each Arrow
     batch is counted in one C++ ``pyarrow.compute.value_counts`` call
-    (dictionary-encode + bincount under the hood); Python touches only
-    the DISTINCT values per batch, never the elements. Drop-in for the
-    ``Counter`` interface :func:`partial_from_counter` consumes
+    (dictionary-encode + bincount under the hood) and the per-batch
+    (values, counts) pair is QUEUED; the cross-batch merge happens in
+    one C++ ``TableGroupBy('v').sum('c')`` when the dict is first
+    needed. Python therefore touches each distinct value ONCE per
+    partition (building the final dict), never once per batch — the
+    hot loop is entirely Arrow. Drop-in for the ``Counter`` interface
+    :func:`partial_from_counter` consumes
     (``keys``/``values``/``most_common``)."""
 
-    __slots__ = ("d",)
+    __slots__ = ("_base", "_chunks", "_nd_hint")
 
     def __init__(self):
-        self.d: dict[bytes, int] = {}
+        self._base: dict[bytes, int] = {}
+        # per-batch value_counts awaiting the single C++ merge:
+        # (large_binary values Array, int64 counts Array)
+        self._chunks: list = []
+        # len(_base) + Σ per-chunk distincts — an UPPER bound on the
+        # true distinct count, refreshed to exact on materialization
+        self._nd_hint = 0
 
     def update(self, values) -> None:
         import pyarrow as pa
@@ -123,19 +133,52 @@ class BytesCounts:
         if isinstance(values, (pa.Array, pa.ChunkedArray)):
             vc = pc.value_counts(values)
             vals = vc.field("values")
-            counts = vc.field("counts").to_numpy(zero_copy_only=False)
-            is_str = (pa.types.is_string(vals.type)
-                      or pa.types.is_large_string(vals.type))
-            d = self.d
-            for v, c in zip(vals.to_pylist(), counts):
-                if v is None:
-                    continue  # sketch inputs are null-filtered upstream
-                key = v.encode("utf-8") if is_str else v
-                d[key] = d.get(key, 0) + int(c)
+            counts = vc.field("counts")
+            if vals.null_count:  # sketch inputs are null-filtered upstream
+                ok = pc.is_valid(vals)
+                vals, counts = vals.filter(ok), counts.filter(ok)
+            if not pa.types.is_large_binary(vals.type):
+                vals = pc.cast(vals, pa.large_binary())
+            self._chunks.append((vals, counts))
+            self._nd_hint += len(vals)
         else:  # list[bytes] fallback (driver-side probes, tests)
-            d = self.d
+            d = self.d  # materializes pending chunks first
             for v in values:
                 d[v] = d.get(v, 0) + 1
+            self._nd_hint = len(d)
+
+    def n_distinct_bound(self) -> int:
+        """Cheap upper bound on the distinct count — exact whenever no
+        batches are pending. Lets a capped accumulator defer the
+        expensive materialization until the bound crosses its cap."""
+        return self._nd_hint
+
+    @property
+    def d(self) -> dict[bytes, int]:
+        if self._chunks:
+            import pyarrow as pa
+            tbl = pa.table({
+                "v": pa.chunked_array([v for v, _ in self._chunks]),
+                "c": pa.chunked_array([c for _, c in self._chunks]),
+            })
+            agg = pa.TableGroupBy(tbl, "v").aggregate([("c", "sum")])
+            vs = agg.column("v").to_pylist()
+            cs = agg.column("c_sum").to_numpy(zero_copy_only=False)
+            base = self._base
+            if base:
+                for v, c in zip(vs, cs):
+                    base[v] = base.get(v, 0) + int(c)
+            else:
+                self._base = base = dict(zip(vs, (int(c) for c in cs)))
+            self._chunks = []
+            self._nd_hint = len(base)
+        return self._base
+
+    @d.setter
+    def d(self, value: dict[bytes, int]) -> None:
+        self._base = value
+        self._chunks = []
+        self._nd_hint = len(value)
 
     # Counter-compatible surface
     def keys(self):
@@ -190,8 +233,12 @@ class CappedCounts:
         self.compactions = 0
 
     def _n_distinct(self) -> int:
-        return len(self.inner.uniq) if isinstance(self.inner, IntCounts) \
-            else len(self.inner.d)
+        if isinstance(self.inner, IntCounts):
+            return len(self.inner.uniq)
+        # cheap upper bound first: only when it crosses the cap is the
+        # exact count (which materializes pending Arrow chunks) worth it
+        bound = self.inner.n_distinct_bound()
+        return bound if bound <= self.cap else len(self.inner.d)
 
     def update(self, values) -> None:
         self.inner.update(values)

