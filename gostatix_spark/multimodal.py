@@ -20,10 +20,17 @@ signatures) is real and tested. Decoding has two tiers:
     constant-block transport (``jpeg.bytes_to_image``) is bit-exact,
     which puts this leg under the byte-for-byte roundtrip oracle too.
 
+  - ``flac`` — real FLAC (fLaC magic, STREAMINFO with unencoded-MD5,
+    CRC-8/CRC-16-protected frames) via the pure-python subset codec
+    in :mod:`gostatix_spark.kernels.flac`: CONSTANT/VERBATIM
+    subframes, mono 8-bit — lossless by construction, so this leg
+    sits under the byte-for-byte roundtrip oracle too.
+
 * codec ``fake`` — a STUB for formats still needing external libs
-  (FLAC / H.264 / color+progressive JPEG): deterministic fake keyed
-  on the payload bytes, clearly marked. Swapping in torchaudio / pyav
-  changes one entry in :data:`DECODERS`, not the pipeline.
+  (H.264 / FLAC-with-prediction / color+progressive JPEG):
+  deterministic fake keyed on the payload bytes, clearly marked.
+  Swapping in torchaudio / pyav changes one entry in
+  :data:`DECODERS`, not the pipeline.
 
 Pattern: ``mapInPandas`` so one Python worker sees an iterator of
 row-batches and can bound its own memory (media rows are big — pair
@@ -126,21 +133,24 @@ def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ``P5`` image (1×len pixel row; opens in ImageMagick/GIMP), ids ≡ 3
     a baseline grayscale JPEG (pure-python codec; bytes spread over
     constant 8×8 blocks, the losslessly-codable representation — the
-    file opens in any image viewer) — with the sample count/shape in
-    ``meta``. This is the encode half of a genuinely round-trippable
-    pipeline: decoding the assets must reproduce the source column
-    byte-for-byte, which puts ALL FOUR real codec paths (WAV container
-    parse, zlib inflate, PGM header parse, JPEG Huffman+IDCT) under a
+    file opens in any image viewer), ids ≡ 4 a real FLAC file
+    (pure-python subset codec, VERBATIM subframes — lossless) — with
+    the sample count/shape in ``meta``. This is the encode half of a
+    genuinely round-trippable pipeline: decoding the assets must
+    reproduce the source column byte-for-byte, which puts ALL FIVE
+    real codec paths (WAV container parse, zlib inflate, PGM header
+    parse, JPEG Huffman+IDCT, FLAC frame/CRC/MD5 verify) under a
     DuckDB oracle (``__spark_entry__.q_multimodal_roundtrip``)."""
     def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
+        from gostatix_spark.kernels import flac as flac_kernel
         from gostatix_spark.kernels import jpeg as jpeg_kernel
         for pdf in pdfs:
             rows = []
             for aid, t in zip(pdf[id_col], pdf[text_col]):
                 b = t.encode("utf-8")
-                route = int(aid) % 4 if b else 1  # P5/WAV need ≥1 sample
+                route = int(aid) % 5 if b else 1  # P5/WAV need ≥1 sample
                 meta = {"n_samples": str(len(b))}
                 if route == 0:
                     kind, codec = "audio", "wav"
@@ -155,6 +165,10 @@ def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     img, n = jpeg_kernel.bytes_to_image(b)
                     media = jpeg_kernel.encode_gray(img)
                     meta = {"n_samples": str(n), "transport": "blocks"}
+                elif route == 4:
+                    kind, codec = "audio", "flac"
+                    media = flac_kernel.encode_u8(
+                        np.frombuffer(b, dtype=np.uint8))
                 else:
                     kind, codec = "video", "zraw"
                     media = zlib.compress(b)
@@ -316,10 +330,25 @@ def _jpeg_raw(media: bytes, meta: dict) -> np.ndarray:
     return img
 
 
+def _flac_raw(media: bytes, meta: dict) -> np.ndarray:
+    """REAL audio decode: parse the FLAC container (fLaC magic,
+    STREAMINFO, CRC-8/CRC-16-protected frames — subset codec in
+    :mod:`gostatix_spark.kernels.flac`), verify the STREAMINFO MD5 of
+    the decoded samples, validate against the typed metadata, return
+    the uint8 sample array. Fails loudly on corruption or on streams
+    outside the declared subset (prediction subframes etc.)."""
+    from gostatix_spark.kernels import flac as flac_kernel
+    raw = flac_kernel.decode_u8(bytes(media))
+    if "n_samples" in meta and len(raw) != int(meta["n_samples"]):
+        raise ValueError(f"FLAC has {len(raw)} samples, meta says"
+                         f" {meta['n_samples']}")
+    return raw
+
+
 # codec → raw-sample decoder (REAL paths only — each parses its actual
 # container format, validates, and fails loudly; no fallback to a fake)
 RAW_DECODERS = {"zraw": _zraw_raw, "wav": _wav_raw, "pgm": _pgm_raw,
-                "jpeg": _jpeg_raw}
+                "jpeg": _jpeg_raw, "flac": _flac_raw}
 
 
 def _raw_decode(media: bytes, meta: dict) -> np.ndarray:
@@ -339,19 +368,21 @@ def _real_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
 
 def _fake_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
     """STUB — deterministic fake 'decoder' for codecs still needing
-    external libraries (FLAC/H.264/color+progressive JPEG): folds the
-    payload bytes into a feature vector. A real deployment replaces
-    this with torchaudio/pyav decoding; everything around it stays."""
+    external libraries (H.264 / FLAC-with-prediction / color+
+    progressive JPEG): folds the payload bytes into a feature vector.
+    A real deployment replaces this with torchaudio/pyav decoding;
+    everything around it stays."""
     return _pool_features(np.frombuffer(media, dtype=np.uint8), out_dim)
 
 
 # codec → feature decoder. 'wav' (RIFF/WAVE PCM via stdlib wave),
-# 'pgm' (binary netpbm P5), 'jpeg' (pure-python baseline decoder) and
-# 'zraw' (zlib raw samples) are real decodes; 'fake' is the declared
-# stub for container-unavailable media libraries (FLAC/H.264).
+# 'pgm' (binary netpbm P5), 'jpeg' (pure-python baseline decoder),
+# 'flac' (pure-python subset codec, CRC/MD5-verified) and 'zraw'
+# (zlib raw samples) are real decodes; 'fake' is the declared stub for
+# container-unavailable media libraries (H.264 / predicted FLAC).
 DECODERS = {"zraw": _real_decode, "wav": _real_decode,
             "pgm": _real_decode, "jpeg": _real_decode,
-            "fake": _fake_decode}
+            "flac": _real_decode, "fake": _fake_decode}
 
 
 def decode_features(df: DataFrame, out_dim: int = 16) -> DataFrame:

@@ -546,23 +546,29 @@ class TestMultimodal:
 
     def test_text_assets_roundtrip_and_validation(self, spark):
         """text → asset → decode_payloads reproduces the source bytes
-        through ALL FOUR real codecs (wav/zraw/pgm/jpeg, routed id
-        mod 4; empty text falls back to zraw — P5/WAV/JPEG need ≥1
+        through ALL FIVE real codecs (wav/zraw/pgm/jpeg/flac, routed
+        id mod 5; empty text falls back to zraw — P5/WAV/JPEG need ≥1
         sample); corrupt n_samples metadata fails loudly."""
         rows = [(0, "wav leg bytes"), (1, "hello multimodal world"),
                 (2, "pgm leg größere zeichen ÄÖÜ"), (3, "jpeg leg bytes"),
-                (4, ""), (6, "p5!"), (7, "second jpeg leg")]
+                (4, "flac leg bytes"), (5, ""), (7, "p5!"),
+                (8, "second jpeg leg"), (9, "second flac leg ÄÖÜ")]
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         assets = multimodal.text_assets(df, "text", "doc_id")
         codecs = {r["asset_id"]: r["meta"]["codec"]
                   for r in assets.collect()}
         assert codecs == {0: "wav", 1: "zraw", 2: "pgm", 3: "jpeg",
-                          4: "zraw", 6: "pgm", 7: "jpeg"}
+                          4: "flac", 5: "zraw", 7: "pgm", 8: "jpeg",
+                          9: "flac"}
+        media = {r["asset_id"]: bytes(r["media"]) for r in assets.collect()}
         # the jpeg leg is a REAL file: SOI/JFIF/EOI markers present
-        jb = next(bytes(r["media"]) for r in assets.collect()
-                  if r["asset_id"] == 3)
+        jb = media[3]
         assert jb[:2] == b"\xff\xd8" and jb[-2:] == b"\xff\xd9"
         assert b"JFIF" in jb[:20]
+        # the flac leg is a REAL file: fLaC magic + frame sync word
+        fb = media[4]
+        assert fb[:4] == b"fLaC"
+        assert fb[42] == 0xFF and (fb[43] & 0xFC) == 0xF8  # frame sync
         got = {r["asset_id"]: bytes(r["payload"]) for r in
                multimodal.decode_payloads(assets).collect()}
         for i, t in rows:
