@@ -294,9 +294,26 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
             pass the in-run check). Using the ledger this way cannot
             bias the estimate: the reported wall is still this run's
             own min, and the ledger only CONFIRMS it, never replaces
-            it."""
+            it.
+
+            For the HI level only, (c) three best samples within 5%
+            also counts (protocol v5): under the additive-noise model
+            a too-slow hi min can only UNDER-report efficiency
+            (eff = lo_min/hi_min/ratio), so widening the hi
+            reproduction evidence can never inflate the headline —
+            the direction plateau clustering could fool is the lo
+            level, which keeps the strict 3% band plus the >1.05
+            plateau detector. Motivated by r5 run 5: hi drew
+            23.16/24.05/24.24 s across three separate quiet windows
+            (4.7% span — plainly the same capability) yet read
+            'open' under the 2-best-3% rule, leaving a
+            0.876-efficiency run unconverged."""
             if gap(cs) <= 0.03:
                 return True
+            if cs == hi_ and len(walls[cs]) >= 3:
+                w3 = sorted(walls[cs])[:3]
+                if w3[2] / w3[0] - 1.0 <= 0.05:
+                    return True
             f = floors_hist.get(cs)
             return (f is not None and walls[cs]
                     and min(walls[cs]) <= f * 1.03)
@@ -473,10 +490,15 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                       f"({time.perf_counter() - t_sched:.0f}s)", flush=True)
         # record HOW each level's floor was reproduced (in-run two-best
         # agreement vs corroboration by the ledger's historical floor)
-        out["floor_reproduction"] = {
-            f"c{c}": ("in-run" if gap(c) <= 0.03 else
-                      "ledger" if level_ok(c) else "open")
-            for c in pair}
+        def _repro_label(c: int) -> str:
+            if gap(c) <= 0.03:
+                return "in-run"
+            if (c == hi_ and len(walls[c]) >= 3
+                    and sorted(walls[c])[2] / min(walls[c]) - 1.0 <= 0.05):
+                return "in-run-3best5pct"
+            return "ledger" if level_ok(c) else "open"
+
+        out["floor_reproduction"] = {f"c{c}": _repro_label(c) for c in pair}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # Statistic: co-tenant interference on this shared VM is strictly
