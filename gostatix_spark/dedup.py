@@ -673,15 +673,34 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
 
     for _ in range(max_iter):
         # star test: members (u) and centres (v) disjoint, one centre
-        # per member — equivalently both stars are no-ops
-        centers = e.select("v").distinct()
-        n_cross = (e.select(F.col("u").alias("v")).distinct()
-                    .join(centers, "v", "left_semi").count())
-        n_multi = (e.groupBy("u").agg(F.countDistinct("v").alias("k"))
-                    .where(F.col("k") > 1).count())
-        if n_cross == 0 and n_multi == 0:
+        # per member — equivalently both stars are no-ops. Both
+        # violation families are counted in ONE action (the driver
+        # round-trips, not the row counts, dominate on contracted edge
+        # sets): (a) nodes playing both roles, via a role-flag
+        # aggregation instead of a distinct+semi-join; (b) members
+        # with >1 centre — count(*) suffices because every round ends
+        # in .distinct(). The count also materializes the previous
+        # round's lazy checkpoint, so each round is a single job.
+        roles = (e.select(F.col("u").alias("n"),
+                          F.lit(1).alias("iu"), F.lit(0).alias("iv"))
+                  .union(e.select(F.col("v").alias("n"),
+                                  F.lit(0).alias("iu"),
+                                  F.lit(1).alias("iv"))))
+        cross = (roles.groupBy("n")
+                      .agg(F.max("iu").alias("iu"), F.max("iv").alias("iv"))
+                      .where((F.col("iu") == 1) & (F.col("iv") == 1)))
+        multi = (e.groupBy("u").agg(F.count("*").alias("k"))
+                  .where(F.col("k") > 1))
+        n_viol = (cross.select(F.lit(1).alias("one"))
+                       .union(multi.select(F.lit(1).alias("one"))).count())
+        if n_viol == 0:
             break
-        e = small_star(large_star(e)).localCheckpoint()
+        # TWO contraction rounds per checkpoint+test: the test costs a
+        # driver action either way, extra rounds past convergence are
+        # provably no-ops, and round count is O(log² n) — so halving
+        # the action count costs at most one wasted no-op round
+        e = small_star(large_star(e))
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "

@@ -25,6 +25,12 @@ signatures) is real and tested. Decoding has two tiers:
     in :mod:`gostatix_spark.kernels.flac`: CONSTANT/VERBATIM
     subframes, mono 8-bit — lossless by construction, so this leg
     sits under the byte-for-byte roundtrip oracle too.
+  - ``mjpeg`` — real MJPEG video in a real AVI RIFF container
+    (:mod:`gostatix_spark.kernels.avi`: avih/strh/strf headers,
+    ``00dc`` frame chunks, idx1 index — plays in ffmpeg/VLC), one
+    baseline JPEG per frame via :mod:`gostatix_spark.kernels.jpeg`;
+    the constant-block frame transport is bit-exact, so this leg is
+    byte-oracled too.
 
 * codec ``fake`` — a STUB for formats still needing external libs
   (H.264 / FLAC-with-prediction / color+progressive JPEG):
@@ -70,8 +76,8 @@ def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256,
     are 1-D uint8 sample streams — with the shape recorded in ``meta``.
     ``codec='real'``: per-kind STANDARD container formats — images are
     binary netpbm ``P5`` files, audio is RIFF/WAVE 16-bit PCM, video
-    stays a ``zraw`` sample stream (no stdlib video container; H.264 is
-    the declared stub).
+    is MJPEG in an AVI RIFF container (playable; H.264 remains the
+    declared stub).
     ``codec='fake'``: opaque pseudo-bytes for the stubbed decoders.
     """
     import zlib
@@ -108,6 +114,10 @@ def make_assets(spark, n: int, seed: int = 42, payload_bytes: int = 256,
                         meta = {"codec": "wav", "kind": kind,
                                 "n_samples": str(len(pcm))}
                         media = _wav_bytes(pcm)
+                    elif kind == "video" and codec == "real":
+                        meta = {"codec": "mjpeg", "kind": kind,
+                                "n_samples": str(payload_bytes)}
+                        media = _mjpeg_bytes(raw.tobytes())
                     else:
                         meta = {"codec": "zraw", "kind": kind,
                                 "n_samples": str(payload_bytes)}
@@ -134,13 +144,16 @@ def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     a baseline grayscale JPEG (pure-python codec; bytes spread over
     constant 8×8 blocks, the losslessly-codable representation — the
     file opens in any image viewer), ids ≡ 4 a real FLAC file
-    (pure-python subset codec, VERBATIM subframes — lossless) — with
-    the sample count/shape in ``meta``. This is the encode half of a
-    genuinely round-trippable pipeline: decoding the assets must
-    reproduce the source column byte-for-byte, which puts ALL FIVE
+    (pure-python subset codec, VERBATIM subframes — lossless), ids ≡ 5
+    a real MJPEG AVI video (bytes chunked into constant-block JPEG
+    frames muxed into a RIFF AVI — the file plays in ffmpeg/VLC) —
+    with the sample count/shape in ``meta``. This is the encode half
+    of a genuinely round-trippable pipeline: decoding the assets must
+    reproduce the source column byte-for-byte, which puts ALL SIX
     real codec paths (WAV container parse, zlib inflate, PGM header
-    parse, JPEG Huffman+IDCT, FLAC frame/CRC/MD5 verify) under a
-    DuckDB oracle (``__spark_entry__.q_multimodal_roundtrip``)."""
+    parse, JPEG Huffman+IDCT, FLAC frame/CRC/MD5 verify, AVI
+    demux+per-frame JPEG decode) under a DuckDB oracle
+    (``__spark_entry__.q_multimodal_roundtrip``)."""
     def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
@@ -150,7 +163,7 @@ def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             rows = []
             for aid, t in zip(pdf[id_col], pdf[text_col]):
                 b = t.encode("utf-8")
-                route = int(aid) % 5 if b else 1  # P5/WAV need ≥1 sample
+                route = int(aid) % 6 if b else 1  # P5/WAV need ≥1 sample
                 meta = {"n_samples": str(len(b))}
                 if route == 0:
                     kind, codec = "audio", "wav"
@@ -169,6 +182,9 @@ def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     kind, codec = "audio", "flac"
                     media = flac_kernel.encode_u8(
                         np.frombuffer(b, dtype=np.uint8))
+                elif route == 5:
+                    kind, codec = "video", "mjpeg"
+                    media = _mjpeg_bytes(b)
                 else:
                     kind, codec = "video", "zraw"
                     media = zlib.compress(b)
@@ -330,6 +346,61 @@ def _jpeg_raw(media: bytes, meta: dict) -> np.ndarray:
     return img
 
 
+# bytes per MJPEG video frame: 192 → 14×14 constant 8×8 blocks →
+# 112×112-pixel frames, and typical document payloads span several
+# frames (a real multi-frame video, not a single-frame degenerate)
+_MJPEG_CHUNK = 192
+
+
+def _mjpeg_bytes(b: bytes, fps: int = 25) -> bytes:
+    """Encode a byte payload as a REAL playable MJPEG AVI: the bytes
+    are split into fixed ``_MJPEG_CHUNK``-byte frames (last frame
+    zero-padded; the true length travels in ``meta['n_samples']``),
+    each frame becomes a constant-block baseline JPEG (bit-exact
+    transport, :mod:`kernels.jpeg`), and the frames are muxed into a
+    single-stream AVI RIFF container (:mod:`kernels.avi`)."""
+    from gostatix_spark.kernels import avi as avi_kernel
+    from gostatix_spark.kernels import jpeg as jpeg_kernel
+    n = len(b)
+    pad = (-n) % _MJPEG_CHUNK if n else _MJPEG_CHUNK
+    padded = b + b"\x00" * pad
+    frames = []
+    dims = None
+    for i in range(0, len(padded), _MJPEG_CHUNK):
+        img, _ = jpeg_kernel.bytes_to_image(padded[i:i + _MJPEG_CHUNK])
+        dims = img.shape
+        frames.append(jpeg_kernel.encode_gray(img))
+    h, w = dims
+    return avi_kernel.encode_avi_mjpeg(frames, w, h, fps=fps)
+
+
+def _mjpeg_raw(media: bytes, meta: dict) -> np.ndarray:
+    """REAL video decode: demux the AVI RIFF container (validating
+    headers, frame counts and the idx1 index), JPEG-decode every
+    ``00dc`` frame, reassemble the constant-block byte transport, and
+    truncate to the recorded sample count. Fails loudly on corrupt
+    containers, non-MJPEG streams, or frame dims that contradict the
+    avih header."""
+    from gostatix_spark.kernels import avi as avi_kernel
+    from gostatix_spark.kernels import jpeg as jpeg_kernel
+    frames, w, h = avi_kernel.decode_avi_mjpeg(bytes(media))
+    parts = []
+    for i, f in enumerate(frames):
+        img = jpeg_kernel.decode_gray(f)
+        if img.shape != (h, w):
+            raise ValueError(f"frame {i} is {img.shape[1]}x{img.shape[0]},"
+                             f" avih says {w}x{h}")
+        parts.append(jpeg_kernel.image_to_bytes(img, _MJPEG_CHUNK))
+    raw = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    if "n_samples" in meta:
+        n = int(meta["n_samples"])
+        if not (len(raw) - _MJPEG_CHUNK <= n <= len(raw)) and n != 0:
+            raise ValueError(f"MJPEG decodes {len(raw)} padded samples,"
+                             f" meta says {n}")
+        raw = raw[:n]
+    return raw
+
+
 def _flac_raw(media: bytes, meta: dict) -> np.ndarray:
     """REAL audio decode: parse the FLAC container (fLaC magic,
     STREAMINFO, CRC-8/CRC-16-protected frames — subset codec in
@@ -348,7 +419,7 @@ def _flac_raw(media: bytes, meta: dict) -> np.ndarray:
 # codec → raw-sample decoder (REAL paths only — each parses its actual
 # container format, validates, and fails loudly; no fallback to a fake)
 RAW_DECODERS = {"zraw": _zraw_raw, "wav": _wav_raw, "pgm": _pgm_raw,
-                "jpeg": _jpeg_raw, "flac": _flac_raw}
+                "jpeg": _jpeg_raw, "flac": _flac_raw, "mjpeg": _mjpeg_raw}
 
 
 def _raw_decode(media: bytes, meta: dict) -> np.ndarray:
@@ -377,12 +448,14 @@ def _fake_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
 
 # codec → feature decoder. 'wav' (RIFF/WAVE PCM via stdlib wave),
 # 'pgm' (binary netpbm P5), 'jpeg' (pure-python baseline decoder),
-# 'flac' (pure-python subset codec, CRC/MD5-verified) and 'zraw'
-# (zlib raw samples) are real decodes; 'fake' is the declared stub for
-# container-unavailable media libraries (H.264 / predicted FLAC).
+# 'flac' (pure-python subset codec, CRC/MD5-verified), 'mjpeg'
+# (AVI demux + per-frame JPEG decode) and 'zraw' (zlib raw samples)
+# are real decodes; 'fake' is the declared stub for container-
+# unavailable media libraries (H.264 / predicted FLAC).
 DECODERS = {"zraw": _real_decode, "wav": _real_decode,
             "pgm": _real_decode, "jpeg": _real_decode,
-            "flac": _real_decode, "fake": _fake_decode}
+            "flac": _real_decode, "mjpeg": _real_decode,
+            "fake": _fake_decode}
 
 
 def decode_features(df: DataFrame, out_dim: int = 16) -> DataFrame:

@@ -668,3 +668,74 @@ class TestFLAC:
             ">H", flac.crc16(bytes(body)))
         with pytest.raises(ValueError, match="FIXED|LPC|not supported"):
             flac.decode_u8(raw[:fstart] + fixed)
+
+
+class TestAVI:
+    """AVI RIFF container (kernels/avi.py, MS AVI RIFF File Reference).
+    The multimodal 'mjpeg' leg depends on mux→demux returning the
+    exact frame payloads and on structural corruption failing loudly."""
+
+    def _frames(self, n, seed=5):
+        from gostatix_spark.kernels import jpeg
+        rng = np.random.default_rng(seed)
+        out = []
+        for _ in range(n):
+            img, _ = jpeg.bytes_to_image(
+                bytes(rng.integers(0, 256, 192, dtype=np.uint8)))
+            out.append(jpeg.encode_gray(img))
+        return out
+
+    def test_mux_demux_roundtrip(self):
+        from gostatix_spark.kernels import avi
+        for n in (1, 2, 7):
+            frames = self._frames(n)
+            data = avi.encode_avi_mjpeg(frames, 112, 112, fps=25)
+            assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+            back, w, h = avi.decode_avi_mjpeg(data)
+            assert (w, h) == (112, 112)
+            assert back == frames, n
+
+    def test_riff_sizes_internally_consistent(self):
+        """The RIFF size must cover the file exactly and every chunk
+        parse must land on declared boundaries (walk raises otherwise);
+        trailing garbage past the RIFF extent is ignored per spec."""
+        import struct
+        from gostatix_spark.kernels import avi
+        data = avi.encode_avi_mjpeg(self._frames(3), 112, 112)
+        assert struct.unpack_from("<I", data, 4)[0] + 8 == len(data)
+        frames, _, _ = avi.decode_avi_mjpeg(data + b"JUNK")
+        assert len(frames) == 3
+
+    def test_corruption_fails_loudly(self):
+        import struct
+        from gostatix_spark.kernels import avi
+        frames = self._frames(2)
+        data = avi.encode_avi_mjpeg(frames, 112, 112)
+        with pytest.raises(ValueError, match="RIFF"):
+            avi.decode_avi_mjpeg(b"fLaC" + data[4:])
+        # frame-count lie in avih (dwTotalFrames at avih body +16)
+        avih_at = data.find(b"avih") + 8
+        bad = bytearray(data)
+        struct.pack_into("<I", bad, avih_at + 16, 99)
+        with pytest.raises(ValueError, match="declares"):
+            avi.decode_avi_mjpeg(bytes(bad))
+        # idx1 offset lie
+        idx_at = data.find(b"idx1") + 8
+        bad = bytearray(data)
+        struct.pack_into("<I", bad, idx_at + 8, 12345)
+        with pytest.raises(ValueError, match="idx1"):
+            avi.decode_avi_mjpeg(bytes(bad))
+        # wrong handler
+        bad = bytearray(data)
+        h_at = data.find(b"strh") + 8 + 4
+        bad[h_at:h_at + 4] = b"H264"
+        with pytest.raises(ValueError, match="MJPG"):
+            avi.decode_avi_mjpeg(bytes(bad))
+        # truncation mid-movi
+        with pytest.raises(ValueError, match="truncated|overruns"):
+            avi.decode_avi_mjpeg(data[:len(data) // 2])
+
+    def test_rejects_non_jpeg_frames_at_mux(self):
+        from gostatix_spark.kernels import avi
+        with pytest.raises(ValueError, match="JPEG"):
+            avi.encode_avi_mjpeg([b"not a jpeg"], 8, 8)

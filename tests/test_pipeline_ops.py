@@ -546,20 +546,22 @@ class TestMultimodal:
 
     def test_text_assets_roundtrip_and_validation(self, spark):
         """text → asset → decode_payloads reproduces the source bytes
-        through ALL FIVE real codecs (wav/zraw/pgm/jpeg/flac, routed
-        id mod 5; empty text falls back to zraw — P5/WAV/JPEG need ≥1
-        sample); corrupt n_samples metadata fails loudly."""
+        through ALL SIX real codecs (wav/zraw/pgm/jpeg/flac/mjpeg,
+        routed id mod 6; empty text falls back to zraw — P5/WAV/JPEG
+        need ≥1 sample); corrupt n_samples metadata fails loudly."""
         rows = [(0, "wav leg bytes"), (1, "hello multimodal world"),
                 (2, "pgm leg größere zeichen ÄÖÜ"), (3, "jpeg leg bytes"),
-                (4, "flac leg bytes"), (5, ""), (7, "p5!"),
-                (8, "second jpeg leg"), (9, "second flac leg ÄÖÜ")]
+                (4, "flac leg bytes"),
+                (5, "mjpeg leg: " + "v" * 400),  # > 2 AVI frames
+                (6, ""), (8, "p5!"), (9, "second jpeg leg"),
+                (10, "second flac leg ÄÖÜ"), (11, "tiny avi")]
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         assets = multimodal.text_assets(df, "text", "doc_id")
         codecs = {r["asset_id"]: r["meta"]["codec"]
                   for r in assets.collect()}
         assert codecs == {0: "wav", 1: "zraw", 2: "pgm", 3: "jpeg",
-                          4: "flac", 5: "zraw", 7: "pgm", 8: "jpeg",
-                          9: "flac"}
+                          4: "flac", 5: "mjpeg", 6: "zraw", 8: "pgm",
+                          9: "jpeg", 10: "flac", 11: "mjpeg"}
         media = {r["asset_id"]: bytes(r["media"]) for r in assets.collect()}
         # the jpeg leg is a REAL file: SOI/JFIF/EOI markers present
         jb = media[3]
@@ -569,6 +571,11 @@ class TestMultimodal:
         fb = media[4]
         assert fb[:4] == b"fLaC"
         assert fb[42] == 0xFF and (fb[43] & 0xFC) == 0xF8  # frame sync
+        # the mjpeg leg is a REAL AVI: RIFF/'AVI ' form, MJPG handler,
+        # multi-frame for the long payload
+        vb = media[5]
+        assert vb[:4] == b"RIFF" and vb[8:12] == b"AVI "
+        assert b"MJPG" in vb[:200] and vb.count(b"00dc") >= 3  # ≥2 + idx1
         got = {r["asset_id"]: bytes(r["payload"]) for r in
                multimodal.decode_payloads(assets).collect()}
         for i, t in rows:
@@ -631,6 +638,27 @@ class TestMultimodal:
             for fno in range(0, len(raw) // 32, 2):
                 assert frames[(aid, fno)] == raw[fno * 32:(fno + 1) * 32]
 
+    def test_frame_sample_mjpeg_video(self, spark):
+        """Frames from codec='real' videos now travel a REAL MJPEG
+        AVI: frame_sample must demux + JPEG-decode back to the
+        original sample stream, verified against an independent
+        regeneration from make_assets' deterministic per-id RNG."""
+        assets = multimodal.make_assets(spark, 9, codec="real",
+                                        payload_bytes=256, seed=42)
+        vids = {r["asset_id"]: bytes(r["media"])
+                for r in assets.collect() if r["kind"] == "video"}
+        assert vids and all(m[8:12] == b"AVI " for m in vids.values())
+        frames = {}
+        for r in multimodal.frame_sample(assets, every_n=2,
+                                         frame_bytes=32).collect():
+            frames[(r["asset_id"], r["frame_no"])] = bytes(r["frame"])
+        assert frames
+        for aid in vids:
+            rng = np.random.default_rng(42 * 1_000_003 + aid)
+            raw = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+            for fno in range(0, len(raw) // 32, 2):
+                assert frames[(aid, fno)] == raw[fno * 32:(fno + 1) * 32]
+
     def test_wav_codec_against_independent_riff_parse(self):
         """The WAV path is a REAL RIFF/WAVE codec: our encoder's bytes
         must parse as a well-formed RIFF container (verified here with
@@ -690,9 +718,9 @@ class TestMultimodal:
 
     def test_make_assets_real_codecs_decode(self, spark):
         """codec='real': images are actual PGM files, audio actual WAV
-        files, video zraw — all three decode through the same pipeline
-        and features match pooling the independently decoded samples."""
-        import zlib
+        files, video actual MJPEG AVI — all three decode through the
+        same pipeline and features match pooling the independently
+        decoded samples."""
         assets = multimodal.make_assets(spark, 12, codec="real",
                                         payload_bytes=256)
         rows = assets.collect()
@@ -701,12 +729,16 @@ class TestMultimodal:
             by_kind.setdefault(r["kind"], []).append(r)
         assert {r["meta"]["codec"] for r in by_kind["image"]} == {"pgm"}
         assert {r["meta"]["codec"] for r in by_kind["audio"]} == {"wav"}
-        assert {r["meta"]["codec"] for r in by_kind["video"]} == {"zraw"}
-        # every image payload is a parseable PGM; every audio a RIFF
+        assert {r["meta"]["codec"] for r in by_kind["video"]} == {"mjpeg"}
+        # every image payload is a parseable PGM; audio and video are
+        # RIFF containers with the right form type
         assert all(bytes(r["media"]).startswith(b"P5\n")
                    for r in by_kind["image"])
         assert all(bytes(r["media"]).startswith(b"RIFF")
                    for r in by_kind["audio"])
+        assert all(bytes(r["media"])[:4] == b"RIFF"
+                   and bytes(r["media"])[8:12] == b"AVI "
+                   for r in by_kind["video"])
         feats = {r["asset_id"]: r["features"] for r in
                  multimodal.decode_features(assets, out_dim=8).collect()}
         assert len(feats) == 12

@@ -84,3 +84,28 @@ def test_cms_and_bloom_fold_invariant(toks, seed):
         acc_bloom = bloom.merge(acc_bloom, pb)
     assert np.array_equal(acc_cms, whole_cms)
     assert np.array_equal(acc_bloom, whole_bloom)
+
+
+media_payloads = st.binary(min_size=0, max_size=1500)
+
+
+@settings(max_examples=40, deadline=None)
+@given(media_payloads)
+def test_flac_roundtrip_property(payload):
+    """Any byte payload survives the FLAC subset codec bit-exactly
+    (covers CONSTANT runs, VERBATIM, multi-frame once > BLOCK via the
+    sized examples in test_kernels; here the fuzz is over content)."""
+    from gostatix_spark.kernels import flac
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    assert np.array_equal(flac.decode_u8(flac.encode_u8(arr)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=1, max_size=800))
+def test_mjpeg_avi_roundtrip_property(payload):
+    """Any non-empty byte payload survives the chunked constant-block
+    JPEG → AVI mux → demux → JPEG decode transport bit-exactly."""
+    from gostatix_spark import multimodal as mm
+    media = mm._mjpeg_bytes(payload)
+    raw = mm._mjpeg_raw(media, {"n_samples": str(len(payload))})
+    assert raw.tobytes() == payload
