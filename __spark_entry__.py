@@ -692,15 +692,18 @@ def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     'zraw', binary netpbm P5, baseline grayscale JPEG (pure-python
     codec, kernels/jpeg.py — constant-block transport, bit-exact),
     FLAC (pure-python subset codec, kernels/flac.py — CRC-8/CRC-16 +
-    STREAMINFO-MD5 verified, VERBATIM subframes, lossless), or MJPEG
+    STREAMINFO-MD5 verified, VERBATIM subframes, lossless), MJPEG
     video in an AVI RIFF container (kernels/avi.py — playable
-    single-stream AVI, one constant-block JPEG per frame), routed
-    doc_id mod 6 (multimodal.py:text_assets) — decoded back through
-    the validating decode paths (each parses its actual container
-    format and raises on corrupt payloads), and pooled features are
-    extracted (decode_features). The oracle compares the DECODED text
+    single-stream AVI, one constant-block JPEG per frame), or a real
+    H.264/AVC Annex-B stream (kernels/h264.py — SPS/PPS/IDR NALs,
+    emulation prevention, every macroblock I_PCM: the spec's
+    raw-sample mode, lossless), routed doc_id mod 7
+    (multimodal.py:text_assets) — decoded back through the validating
+    decode paths (each parses its actual container format and raises
+    on corrupt payloads), and pooled features are extracted
+    (decode_features). The oracle compares the DECODED text
     byte-for-byte against the source column, so a decode that
-    fabricates or truncates a single byte in ANY of the six codecs
+    fabricates or truncates a single byte in ANY of the seven codecs
     hash-mismatches."""
     from gostatix_spark import multimodal
     docs = _read(spark, sf_dir, "documents").repartition(32)

@@ -31,9 +31,15 @@ signatures) is real and tested. Decoding has two tiers:
     baseline JPEG per frame via :mod:`gostatix_spark.kernels.jpeg`;
     the constant-block frame transport is bit-exact, so this leg is
     byte-oracled too.
+  - ``h264`` — real H.264/AVC Annex-B elementary stream
+    (:mod:`gostatix_spark.kernels.h264`: SPS/PPS/IDR NALs, Exp-Golomb
+    headers, emulation prevention) carrying every macroblock as
+    I_PCM — the spec's mandatory raw-sample mode, lossless by
+    construction, so this leg is byte-oracled too.
 
-* codec ``fake`` — a STUB for formats still needing external libs
-  (H.264 / FLAC-with-prediction / color+progressive JPEG):
+* codec ``fake`` — a STUB for the lossy/predicted side of these
+  formats, which needs external libs (predicted/transform-coded
+  H.264, FLAC-with-prediction, color+progressive JPEG):
   deterministic fake keyed on the payload bytes, clearly marked.
   Swapping in torchaudio / pyav changes one entry in
   :data:`DECODERS`, not the pipeline.
@@ -146,24 +152,27 @@ def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     file opens in any image viewer), ids ≡ 4 a real FLAC file
     (pure-python subset codec, VERBATIM subframes — lossless), ids ≡ 5
     a real MJPEG AVI video (bytes chunked into constant-block JPEG
-    frames muxed into a RIFF AVI — the file plays in ffmpeg/VLC) —
+    frames muxed into a RIFF AVI — the file plays in ffmpeg/VLC),
+    ids ≡ 6 a real H.264 Annex-B stream (bytes as I_PCM macroblock
+    luma — the spec's raw-sample mode; plays in any AVC decoder) —
     with the sample count/shape in ``meta``. This is the encode half
     of a genuinely round-trippable pipeline: decoding the assets must
-    reproduce the source column byte-for-byte, which puts ALL SIX
+    reproduce the source column byte-for-byte, which puts ALL SEVEN
     real codec paths (WAV container parse, zlib inflate, PGM header
     parse, JPEG Huffman+IDCT, FLAC frame/CRC/MD5 verify, AVI
-    demux+per-frame JPEG decode) under a DuckDB oracle
-    (``__spark_entry__.q_multimodal_roundtrip``)."""
+    demux+per-frame JPEG decode, H.264 NAL/SPS/slice parse) under a
+    DuckDB oracle (``__spark_entry__.q_multimodal_roundtrip``)."""
     def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
         from gostatix_spark.kernels import flac as flac_kernel
+        from gostatix_spark.kernels import h264 as h264_kernel
         from gostatix_spark.kernels import jpeg as jpeg_kernel
         for pdf in pdfs:
             rows = []
             for aid, t in zip(pdf[id_col], pdf[text_col]):
                 b = t.encode("utf-8")
-                route = int(aid) % 6 if b else 1  # P5/WAV need ≥1 sample
+                route = int(aid) % 7 if b else 1  # P5/WAV need ≥1 sample
                 meta = {"n_samples": str(len(b))}
                 if route == 0:
                     kind, codec = "audio", "wav"
@@ -185,6 +194,10 @@ def text_assets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 elif route == 5:
                     kind, codec = "video", "mjpeg"
                     media = _mjpeg_bytes(b)
+                elif route == 6:
+                    kind, codec = "video", "h264"
+                    media = h264_kernel.encode_ipcm(
+                        np.frombuffer(b, dtype=np.uint8))
                 else:
                     kind, codec = "video", "zraw"
                     media = zlib.compress(b)
@@ -401,6 +414,27 @@ def _mjpeg_raw(media: bytes, meta: dict) -> np.ndarray:
     return raw
 
 
+def _h264_raw(media: bytes, meta: dict) -> np.ndarray:
+    """REAL video decode: parse the H.264 Annex-B stream (NAL split,
+    emulation-prevention removal, SPS/PPS/IDR slice headers —
+    :mod:`gostatix_spark.kernels.h264`), extract the I_PCM macroblock
+    luma, truncate to the recorded sample count. Fails loudly on
+    corrupt streams or anything outside the declared I_PCM subset
+    (predicted macroblocks, CABAC, non-IDR slices)."""
+    from gostatix_spark.kernels import h264 as h264_kernel
+    raw = h264_kernel.decode_ipcm(bytes(media))
+    if "n_samples" in meta:
+        n = int(meta["n_samples"])
+        # grid padding: < 1 macroblock within the last data MB plus
+        # < 1 macroblock row (≤ 8 MBs) squaring up the frame
+        pad = 9 * h264_kernel.MB * h264_kernel.MB
+        if not (len(raw) - pad < max(n, 1) <= len(raw)):
+            raise ValueError(f"H.264 stream carries {len(raw)} padded "
+                             f"samples, meta says {n}")
+        raw = raw[:n]
+    return raw
+
+
 def _flac_raw(media: bytes, meta: dict) -> np.ndarray:
     """REAL audio decode: parse the FLAC container (fLaC magic,
     STREAMINFO, CRC-8/CRC-16-protected frames — subset codec in
@@ -419,7 +453,8 @@ def _flac_raw(media: bytes, meta: dict) -> np.ndarray:
 # codec → raw-sample decoder (REAL paths only — each parses its actual
 # container format, validates, and fails loudly; no fallback to a fake)
 RAW_DECODERS = {"zraw": _zraw_raw, "wav": _wav_raw, "pgm": _pgm_raw,
-                "jpeg": _jpeg_raw, "flac": _flac_raw, "mjpeg": _mjpeg_raw}
+                "jpeg": _jpeg_raw, "flac": _flac_raw, "mjpeg": _mjpeg_raw,
+                "h264": _h264_raw}
 
 
 def _raw_decode(media: bytes, meta: dict) -> np.ndarray:
@@ -438,8 +473,9 @@ def _real_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
 
 
 def _fake_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
-    """STUB — deterministic fake 'decoder' for codecs still needing
-    external libraries (H.264 / FLAC-with-prediction / color+
+    """STUB — deterministic fake 'decoder' for the predicted/lossy
+    side of the media formats, which still needs external libraries
+    (predicted/transform-coded H.264, FLAC-with-prediction, color+
     progressive JPEG): folds the payload bytes into a feature vector.
     A real deployment replaces this with torchaudio/pyav decoding;
     everything around it stays."""
@@ -449,13 +485,14 @@ def _fake_decode(media: bytes, meta: dict, out_dim: int) -> np.ndarray:
 # codec → feature decoder. 'wav' (RIFF/WAVE PCM via stdlib wave),
 # 'pgm' (binary netpbm P5), 'jpeg' (pure-python baseline decoder),
 # 'flac' (pure-python subset codec, CRC/MD5-verified), 'mjpeg'
-# (AVI demux + per-frame JPEG decode) and 'zraw' (zlib raw samples)
-# are real decodes; 'fake' is the declared stub for container-
-# unavailable media libraries (H.264 / predicted FLAC).
+# (AVI demux + per-frame JPEG decode), 'h264' (Annex-B NAL parse,
+# I_PCM extraction) and 'zraw' (zlib raw samples) are real decodes;
+# 'fake' is the declared stub for the predicted/lossy side of these
+# formats, which needs external media libraries.
 DECODERS = {"zraw": _real_decode, "wav": _real_decode,
             "pgm": _real_decode, "jpeg": _real_decode,
             "flac": _real_decode, "mjpeg": _real_decode,
-            "fake": _fake_decode}
+            "h264": _real_decode, "fake": _fake_decode}
 
 
 def decode_features(df: DataFrame, out_dim: int = 16) -> DataFrame:

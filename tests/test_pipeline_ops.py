@@ -546,22 +546,26 @@ class TestMultimodal:
 
     def test_text_assets_roundtrip_and_validation(self, spark):
         """text → asset → decode_payloads reproduces the source bytes
-        through ALL SIX real codecs (wav/zraw/pgm/jpeg/flac/mjpeg,
-        routed id mod 6; empty text falls back to zraw — P5/WAV/JPEG
-        need ≥1 sample); corrupt n_samples metadata fails loudly."""
+        through ALL SEVEN real codecs (wav/zraw/pgm/jpeg/flac/mjpeg/
+        h264, routed id mod 7; empty text falls back to zraw —
+        P5/WAV/JPEG need ≥1 sample); corrupt n_samples metadata fails
+        loudly."""
         rows = [(0, "wav leg bytes"), (1, "hello multimodal world"),
                 (2, "pgm leg größere zeichen ÄÖÜ"), (3, "jpeg leg bytes"),
                 (4, "flac leg bytes"),
                 (5, "mjpeg leg: " + "v" * 400),  # > 2 AVI frames
-                (6, ""), (8, "p5!"), (9, "second jpeg leg"),
-                (10, "second flac leg ÄÖÜ"), (11, "tiny avi")]
+                (6, "h264 leg: " + "x" * 300),   # > 1 I_PCM macroblock
+                (7, ""), (9, "p5!"), (10, "second jpeg leg"),
+                (11, "second flac leg ÄÖÜ"), (12, "tiny avi"),
+                (13, "tiny h264")]
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         assets = multimodal.text_assets(df, "text", "doc_id")
         codecs = {r["asset_id"]: r["meta"]["codec"]
                   for r in assets.collect()}
         assert codecs == {0: "wav", 1: "zraw", 2: "pgm", 3: "jpeg",
-                          4: "flac", 5: "mjpeg", 6: "zraw", 8: "pgm",
-                          9: "jpeg", 10: "flac", 11: "mjpeg"}
+                          4: "flac", 5: "mjpeg", 6: "h264", 7: "zraw",
+                          9: "pgm", 10: "jpeg", 11: "flac",
+                          12: "mjpeg", 13: "h264"}
         media = {r["asset_id"]: bytes(r["media"]) for r in assets.collect()}
         # the jpeg leg is a REAL file: SOI/JFIF/EOI markers present
         jb = media[3]
@@ -576,6 +580,11 @@ class TestMultimodal:
         vb = media[5]
         assert vb[:4] == b"RIFF" and vb[8:12] == b"AVI "
         assert b"MJPG" in vb[:200] and vb.count(b"00dc") >= 3  # ≥2 + idx1
+        # the h264 leg is a REAL Annex-B stream: SPS(0x67)/PPS(0x68)/
+        # IDR(0x65) NALs behind 4-byte start codes
+        hb = media[6]
+        assert hb[:5] == b"\x00\x00\x00\x01\x67"
+        assert b"\x00\x00\x00\x01\x68" in hb and b"\x00\x00\x00\x01\x65" in hb
         got = {r["asset_id"]: bytes(r["payload"]) for r in
                multimodal.decode_payloads(assets).collect()}
         for i, t in rows:

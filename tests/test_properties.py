@@ -109,3 +109,15 @@ def test_mjpeg_avi_roundtrip_property(payload):
     media = mm._mjpeg_bytes(payload)
     raw = mm._mjpeg_raw(media, {"n_samples": str(len(payload))})
     assert raw.tobytes() == payload
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=1, max_size=1200))
+def test_h264_ipcm_roundtrip_property(payload):
+    """Any non-empty byte payload survives the I_PCM macroblock
+    transport bit-exactly, including emulation-prevention patterns."""
+    from gostatix_spark.kernels import h264
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    dec = h264.decode_ipcm(h264.encode_ipcm(arr))
+    assert np.array_equal(dec[:len(arr)], arr)
+    assert (dec[len(arr):] == 0).all()
