@@ -426,6 +426,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 11 != 0)
+    sharing any word 3-gram with the held-out eval split
+    (doc_id % 11 == 0). Bloom-prefiltered map-side, then exact-verified
+    → result is EXACT and fully oracled. (Production default is
+    n=13 per GPT-3; n=3 here so the sf-scale corpus actually overlaps.)"""
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 11 != 0)
+    ev = docs.where(F.col("doc_id") % 11 == 0)
+    return (dedup.ngram_decontaminate(train, ev, "text", "doc_id", n=3)
+            .orderBy("id"))
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (LSH recall is
     probabilistic → rows-only check; precision is exact by construction).
@@ -829,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_values": q_quantile_values,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_decontaminate": q_ngram_decontaminate,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "simhash_manku": q_simhash_manku,
@@ -973,6 +987,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE common / (sa.n_grams + sb.n_grams - common) >= 0.5
+        """),
+        "ngram_decontaminate": ("""
+            WITH grams AS (
+              SELECT DISTINCT doc_id AS id,
+                     concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS gram
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents),
+                   UNNEST(range(len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3
+            ), ev AS (
+              SELECT DISTINCT gram FROM grams WHERE id % 11 = 0
+            )
+            SELECT g.id, COUNT(*) AS n_hit_grams
+            FROM grams g JOIN ev USING (gram)
+            WHERE g.id % 11 <> 0
+            GROUP BY g.id ORDER BY g.id
         """),
         "token_stats": (
             "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,"

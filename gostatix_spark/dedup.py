@@ -34,7 +34,8 @@ from gostatix_spark import hashing
 __all__ = ["exact_dedup", "minhash_signatures", "lsh_candidate_pairs",
            "minhash_dedup_pairs", "simhash", "simhash_near_pairs",
            "simhash_manku_pairs", "ngram_jaccard_pairs",
-           "embedding_dedup_pairs", "connected_components"]
+           "embedding_dedup_pairs", "connected_components",
+           "ngram_decontaminate"]
 
 _MERSENNE = (1 << 61) - 1
 _P61 = np.uint64(_MERSENNE)
@@ -713,3 +714,73 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     members = e.select(F.col("u").alias("node"),
                        F.col("v").alias("component"))
     return members.union(centers)
+
+
+def _word_grams(df: DataFrame, text_col: str, id_col: str,
+                n: int) -> DataFrame:
+    """[id, gram] — DISTINCT lower-cased word ``n``-grams per document
+    (split on single spaces, matching the DuckDB-oracle convention used
+    across this module). Pure JVM expressions: split → sequence →
+    transform(slice → concat_ws) → explode; no Python in the path."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    return (df.select(F.col(id_col).alias("id"), words.alias("w"))
+            .where(F.size("w") >= n)
+            .select("id",
+                    F.explode(F.expr(
+                        f"transform(sequence(0, size(w)-{n}), "
+                        f"i -> concat_ws(' ', slice(w, i+1, {n})))"))
+                    .alias("gram"))
+            .distinct())
+
+
+def ngram_decontaminate(train: DataFrame, eval_df: DataFrame,
+                        text_col: str, id_col: str, *, n: int = 13,
+                        use_bloom: bool = True, n_shards: int = 4,
+                        eps: float = 1e-3) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing at
+    least one word ``n``-gram with an evaluation/benchmark set — the
+    GPT-3-style overlap rule (Brown et al. 2020 used 13-grams; the
+    reference library has no such op, this is brief-driven pipeline
+    surface). Output ``[id, n_hit_grams]``: one row per CONTAMINATED
+    training doc with the count of its distinct overlapping grams —
+    exact, so DuckDB-oracle-checkable.
+
+    Scale shape (the asymmetry is the whole design): the eval side is
+    small by definition (benchmark suites: 10³–10⁶ docs) while train is
+    the 100-TB side. Train-side grams are filtered MAP-SIDE by a
+    sharded Bloom filter built over the distinct eval grams
+    (:func:`gostatix_spark.agg.bloom_build_sharded`, broadcast blobs,
+    no false negatives), so the only train rows that reach a shuffle
+    are true hits plus an ``eps`` fraction of false positives; those
+    survivors are verified with an exact broadcast semi join against
+    the eval grams (killing the FPs — the result is EXACT), then one
+    partial-aggregated groupBy on the doc id. Nothing data-sized is
+    collected: the two driver actions here (eval-gram count for Bloom
+    sizing, shard-blob collect) touch only the small side.
+
+    ``use_bloom=False`` skips the prefilter (plain broadcast semi
+    join) — the equivalence of the two paths is pytest-gated.
+
+    The eval-gram DataFrame stays persisted until the returned plan is
+    consumed (it feeds both the Bloom build and the verify join);
+    Spark evicts it LRU, or the caller may ``spark.catalog.clearCache()``
+    after materializing the result."""
+    from gostatix_spark.agg import bloom_build_sharded
+    from gostatix_spark.query import bloom_contains_sharded
+
+    ev = _word_grams(eval_df, text_col, id_col, n) \
+        .select("gram").distinct().persist()
+    n_ev = ev.count()
+    tr = _word_grams(train, text_col, id_col, n)
+    if n_ev and use_bloom:
+        spark = train.sparkSession
+        states = bloom_build_sharded(ev, "gram", n=n_ev, eps=eps,
+                                     element="string", n_shards=n_shards)
+        shard_map = {r["shard"]: bytes(r["state"])
+                     for r in states.collect()}
+        tr = tr.where(bloom_contains_sharded(spark, shard_map,
+                                             F.col("gram"), "string",
+                                             n_shards=n_shards))
+    return (tr.join(F.broadcast(ev), "gram", "left_semi")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_hit_grams")))

@@ -788,3 +788,48 @@ class TestNgramGramCap:
         rb = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
               for r in b.collect()}
         assert ra == rb
+
+
+class TestNgramDecontaminate:
+    def test_matches_python_reference(self, spark):
+        rows = [(1, "a b c d e f"), (2, "c d e q r s"), (3, "x y z w v u"),
+                (11, "a b c d zz"), (22, "w v u t s r")]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        train = df.where(F.col("id") < 10)
+        ev = df.where(F.col("id") >= 10)
+        got = {r["id"]: r["n_hit_grams"]
+               for r in dedup.ngram_decontaminate(train, ev, "text", "id",
+                                                  n=3).collect()}
+
+        def grams(t):
+            w = t.lower().split(" ")
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        ev_grams = set().union(*(grams(t) for i, t in rows if i >= 10))
+        want = {}
+        for i, t in rows:
+            if i < 10:
+                hits = len(grams(t) & ev_grams)
+                if hits:
+                    want[i] = hits
+        assert got == want
+
+    def test_bloom_and_plain_paths_agree(self, spark, docs):
+        train = docs.where(F.col("doc_id") % 11 != 0)
+        ev = docs.where(F.col("doc_id") % 11 == 0)
+        a = {(r["id"], r["n_hit_grams"])
+             for r in dedup.ngram_decontaminate(train, ev, "text", "doc_id",
+                                                n=3, use_bloom=True,
+                                                eps=0.05).collect()}
+        b = {(r["id"], r["n_hit_grams"])
+             for r in dedup.ngram_decontaminate(train, ev, "text", "doc_id",
+                                                n=3,
+                                                use_bloom=False).collect()}
+        assert a == b
+        assert len(a) > 0
+
+    def test_empty_eval_returns_nothing(self, spark, docs):
+        train = docs.limit(20)
+        ev = docs.where(F.lit(False))
+        out = dedup.ngram_decontaminate(train, ev, "text", "doc_id", n=3)
+        assert out.count() == 0
