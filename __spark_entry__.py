@@ -439,6 +439,17 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id"))
 
 
+def q_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-3-gram fraction per document
+    (dedup.cross_doc_dup_fraction) — the cross-document complement of
+    q:repetition_features' within-doc signals. Exact counts, fully
+    oracled; the xxhash64 fingerprint scale path is pytest-gated
+    equivalent. One row per doc (full result — the driver compare is
+    order-insensitive, so no tie-sensitive LIMIT)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.cross_doc_dup_fraction(docs, "text", "doc_id", n=3)
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (LSH recall is
     probabilistic → rows-only check; precision is exact by construction).
@@ -843,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_decontaminate": q_ngram_decontaminate,
+        "dup_gram_fraction": q_dup_gram_fraction,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "simhash_manku": q_simhash_manku,
@@ -1003,6 +1015,26 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g JOIN ev USING (gram)
             WHERE g.id % 11 <> 0
             GROUP BY g.id ORDER BY g.id
+        """),
+        "dup_gram_fraction": ("""
+            WITH grams AS (
+              SELECT DISTINCT doc_id AS id,
+                     concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS gram
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents),
+                   UNNEST(range(len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3
+            ), dfreq AS (
+              SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+            )
+            SELECT g.id,
+                   COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_grams,
+                   CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*) AS dup_frac
+            FROM grams g JOIN dfreq USING (gram)
+            GROUP BY g.id
         """),
         "token_stats": (
             "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,"

@@ -35,7 +35,7 @@ __all__ = ["exact_dedup", "minhash_signatures", "lsh_candidate_pairs",
            "minhash_dedup_pairs", "simhash", "simhash_near_pairs",
            "simhash_manku_pairs", "ngram_jaccard_pairs",
            "embedding_dedup_pairs", "connected_components",
-           "ngram_decontaminate"]
+           "ngram_decontaminate", "cross_doc_dup_fraction"]
 
 _MERSENNE = (1 << 61) - 1
 _P61 = np.uint64(_MERSENNE)
@@ -784,3 +784,53 @@ def ngram_decontaminate(train: DataFrame, eval_df: DataFrame,
     return (tr.join(F.broadcast(ev), "gram", "left_semi")
             .groupBy("id")
             .agg(F.count("*").alias("n_hit_grams")))
+
+
+def cross_doc_dup_fraction(df: DataFrame, text_col: str, id_col: str,
+                           *, n: int = 8,
+                           fingerprint: bool = False) -> DataFrame:
+    """Corpus-level duplicate-n-gram fraction per document: for each
+    doc, the share of its DISTINCT word ``n``-grams that also occur in
+    at least one OTHER document. The cross-document complement of the
+    within-doc signals in :func:`textstats.repetition_features` —
+    MassiveText-style corpora gate on both (Rae et al. 2021 §A1.2:
+    within-doc repetition filters; near-dup/overlap filters across
+    docs). High ``dup_frac`` marks boilerplate, mirrors and template
+    spam that per-doc quality scores cannot see. Output
+    ``[id, n_grams, n_dup_grams, dup_frac]`` — exact counts, so
+    DuckDB-oracle-checkable.
+
+    Plan shape: distinct (id, gram) pairs → one partial-aggregated
+    ``groupBy(gram)`` for document frequency → equi-join back on gram →
+    one ``groupBy(id)``. Nothing is collected; no Python anywhere.
+    The gram table feeds BOTH join sides, and Catalyst does not dedup
+    common subtrees — without materialization the corpus-scale
+    explode+distinct (including its shuffle) would run twice — so it
+    is ``localCheckpoint(eager=False)``-ed: computed once at the first
+    action, lineage truncated, both branches read the checkpointed
+    blocks (the same pattern as :func:`connected_components`). The DF
+    side stays a partial-aggregated groupBy (hot-gram-immune); the
+    join probe side's gram skew is AQE-splittable.
+
+    Scale path (``fingerprint=True``): long string grams dominate the
+    two gram-keyed shuffles at corpus scale, so hash each gram to a
+    JVM-side ``xxhash64`` BIGINT first — shuffle rows shrink from
+    ~n×8 string bytes to 8 bytes, everything downstream is identical.
+    A collision (2⁻⁶⁴ per pair) can only merge two grams' doc sets,
+    i.e. nudge ``df`` up — equivalence with the exact path is
+    pytest-gated at test scale. Hot grams (millions-of-docs
+    boilerplate) skew the join's gram partitions; df_counts is one
+    row per gram so AQE's skew-join split handles the big side.
+    """
+    grams = _word_grams(df, text_col, id_col, n)
+    if fingerprint:
+        grams = grams.select("id", F.xxhash64("gram").alias("gram"))
+    grams = grams.localCheckpoint(eager=False)
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    return (grams.join(dfreq, "gram")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+                  .alias("n_dup_grams"))
+            .withColumn("dup_frac",
+                        F.col("n_dup_grams") / F.col("n_grams")))

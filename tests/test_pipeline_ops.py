@@ -833,3 +833,49 @@ class TestNgramDecontaminate:
         ev = docs.where(F.lit(False))
         out = dedup.ngram_decontaminate(train, ev, "text", "doc_id", n=3)
         assert out.count() == 0
+
+
+class TestCrossDocDupFraction:
+    def test_matches_python_reference(self, spark):
+        rows = [(1, "a b c d e"), (2, "a b c x y"), (3, "p q r s t"),
+                (4, "p q r a b c")]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        got = {r["id"]: (r["n_grams"], r["n_dup_grams"],
+                         round(r["dup_frac"], 9))
+               for r in dedup.cross_doc_dup_fraction(
+                   df, "text", "id", n=3).collect()}
+
+        def grams(t):
+            w = t.lower().split(" ")
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        per_doc = {i: grams(t) for i, t in rows}
+        want = {}
+        for i, gs in per_doc.items():
+            dup = sum(1 for g in gs
+                      if any(g in o for j, o in per_doc.items() if j != i))
+            want[i] = (len(gs), dup, round(dup / len(gs), 9))
+        assert got == want
+        # planted structure: "a b c" shared by docs 1/2/4, "p q r" by 3/4
+        assert want[1] == (3, 1, round(1 / 3, 9))
+        assert want[3] == (3, 1, round(1 / 3, 9))
+        assert want[4] == (4, 2, 0.5)
+
+    def test_fingerprint_path_equivalent(self, spark, docs):
+        sub = docs.limit(150)
+        a = {(r["id"], r["n_grams"], r["n_dup_grams"])
+             for r in dedup.cross_doc_dup_fraction(
+                 sub, "text", "doc_id", n=3).collect()}
+        b = {(r["id"], r["n_grams"], r["n_dup_grams"])
+             for r in dedup.cross_doc_dup_fraction(
+                 sub, "text", "doc_id", n=3, fingerprint=True).collect()}
+        assert a == b
+        assert len(a) == 150
+
+    def test_all_unique_corpus_is_all_zero(self, spark):
+        rows = [(i, f"u{i} v{i} w{i} x{i}") for i in range(30)]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        out = dedup.cross_doc_dup_fraction(df, "text", "id", n=2).collect()
+        assert len(out) == 30
+        assert all(r["n_dup_grams"] == 0 and r["dup_frac"] == 0.0
+                   for r in out)
