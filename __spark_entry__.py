@@ -20,7 +20,8 @@ from collections.abc import Callable
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from gostatix_spark import dedup, params, sampling, similarity, textstats
+from gostatix_spark import (dedup, packing, params, sampling, similarity,
+                            textstats)
 from gostatix_spark.agg import (bloom_build_sharded, cuckoo_apply_removals,
                                 cuckoo_build, sketch_agg)
 from gostatix_spark.query import (bloom_contains, bloom_contains_sharded,
@@ -656,6 +657,44 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "part", "shard"))
 
 
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (packing.build_vocab): whitespace
+    tokens with count >= 2, ids dense 0-based under (count DESC, token
+    ASC). Two-phase hash agg + TakeOrderedAndProject; the DuckDB
+    oracle recomputes the identical ranking, so ids, counts and the
+    tie-break are checked row-exact."""
+    docs = _read(spark, sf_dir, "documents")
+    return (packing.build_vocab(docs, "text", vocab_size=500, min_count=2)
+            .select("token", F.col("count").alias("cnt"), "token_id"))
+
+
+def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding (packing.encode_tokens) against a top-25
+    vocabulary — small on purpose so real OOV traffic exercises the
+    unk path. The id sequence itself is compared content-exactly via
+    an md5 fingerprint of the space-joined ids (engine-portable; the
+    DuckDB oracle rebuilds the same vocab, join and ordering)."""
+    docs = _read(spark, sf_dir, "documents")
+    vocab = packing.build_vocab(docs, "text", vocab_size=25)
+    enc = packing.encode_tokens(docs, "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id", "n_tok", "n_unk",
+        F.md5(F.expr("array_join(transform(token_ids,"
+                     " x -> cast(x as string)), ' ')")).alias("ids_fp"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (packing.pack_sequences) in the
+    at-scale shape: 16 hash-prefix parts, per-part deterministic
+    order + offset cumsum, 512-token packs, documents straddling pack
+    boundaries. Each pack's content travels as an md5 fingerprint of
+    its tokens in stream order, so the DuckDB oracle checks the packed
+    STREAMS byte-for-byte, not just the bucketing."""
+    docs = _read(spark, sf_dir, "documents")
+    return packing.pack_sequences(docs, "doc_id", "text", seq_len=512,
+                                  part_hex_chars=1)
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the fifth dedup family), exact
     method over a bounded id range so the self-join stays square-root
@@ -872,6 +911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "token_shards": q_token_shards,
         "reservoir_sample": q_reservoir_sample,
+        "vocab_build": q_vocab_build,
+        "encode_tokens": q_encode_tokens,
+        "pack_sequences": q_pack_sequences,
         "embedding_dedup": q_embedding_dedup,
         "dedup_clusters": q_dedup_clusters,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -1153,6 +1195,58 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents"
             " ORDER BY md5(CAST(doc_id AS VARCHAR) || 'reservoir')"
             " LIMIT 100"),
+        "vocab_build": (
+            "WITH wc AS ("
+            " SELECT word AS token, CAST(COUNT(*) AS BIGINT) AS cnt"
+            " FROM (SELECT unnest(string_split(text, ' ')) AS word"
+            "       FROM documents)"
+            " GROUP BY word HAVING COUNT(*) >= 2)"
+            " SELECT token, cnt,"
+            " CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1"
+            "      AS INT) AS token_id"
+            " FROM wc QUALIFY token_id < 500"),
+        "encode_tokens": (
+            "WITH wc AS ("
+            " SELECT word AS token, COUNT(*) AS cnt"
+            " FROM (SELECT unnest(string_split(text, ' ')) AS word"
+            "       FROM documents)"
+            " GROUP BY word),"
+            " vocab AS ("
+            " SELECT token,"
+            " CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1"
+            "      AS INT) AS token_id"
+            " FROM wc QUALIFY token_id < 25),"
+            " tok AS ("
+            " SELECT doc_id,"
+            " unnest(string_split(text, ' ')) AS word,"
+            " unnest(range(0, len(string_split(text, ' ')))) AS pos"
+            " FROM documents)"
+            " SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,"
+            " CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)"
+            "      AS BIGINT) AS n_unk,"
+            " md5(string_agg(CAST(COALESCE(v.token_id, -1) AS VARCHAR),"
+            "     ' ' ORDER BY t.pos)) AS ids_fp"
+            " FROM tok t LEFT JOIN vocab v ON t.word = v.token"
+            " GROUP BY t.doc_id"),
+        "pack_sequences": (
+            "WITH base AS ("
+            " SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'order') AS k,"
+            " string_split(text, ' ') AS ws FROM documents),"
+            " off AS ("
+            " SELECT doc_id, substr(k, 1, 1) AS part, ws,"
+            " COALESCE(SUM(len(ws)) OVER (PARTITION BY substr(k, 1, 1)"
+            "   ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            "   1 PRECEDING), 0) AS off"
+            " FROM base),"
+            " tok AS ("
+            " SELECT part, doc_id,"
+            " off + unnest(range(0, len(ws))) AS gpos,"
+            " unnest(ws) AS word FROM off)"
+            " SELECT part, CAST(gpos // 512 AS INT) AS pack,"
+            " CAST(COUNT(*) AS BIGINT) AS n_tok,"
+            " CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,"
+            " md5(string_agg(word, ' ' ORDER BY gpos)) AS fingerprint"
+            " FROM tok GROUP BY part, pack"),
         "mixture_sample": (
             "SELECT doc_id, source FROM documents WHERE "
             + " OR ".join(
