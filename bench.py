@@ -99,7 +99,8 @@ def _sketch_build_job(spark, corpus, n_docs: int) -> dict:
 
 
 def _scaling_rep_subprocess(cores: int, corpus_path: str, input_bytes: int,
-                            n_docs: int, max_passes: int = 3) -> list[float]:
+                            n_docs: int, max_passes: int = 3,
+                            abort_above: float | None = None) -> list[float]:
     """One measurement session in a FRESH subprocess with an N-core JVM.
 
     ``local[N]`` only caps *task slots* — the JVM's GC/JIT/netty
@@ -118,7 +119,19 @@ def _scaling_rep_subprocess(cores: int, corpus_path: str, input_bytes: int,
     The session warms (scan + small build) then runs up to 3 full
     passes, stopping early once a pass fails to improve on the session
     best by >5% (the first pass carries the JIT tail; a noise burst
-    mid-session stops wasting budget). Returns all pass walls."""
+    mid-session stops wasting budget). Returns all pass walls.
+
+    ``abort_above`` (protocol v6): when set (ledger capability floor
+    × 1.12), a session whose every pass so far exceeds it stops
+    immediately — the window is demonstrably loud, and further passes
+    inside the SAME window cannot reach the floor (interference bursts
+    last minutes). The saved budget buys sessions in NEW windows,
+    which is the only thing that can deepen a per-level min. Unbiased
+    by construction: aborting only truncates sampling of windows whose
+    samples were never going to be the min; every recorded wall is a
+    complete honest pass. Motivated by r5 run 6, where a persistent
+    co-tenant sat on twelve full-length c1 sessions (~60 min of budget
+    measuring the co-tenant, not the job)."""
     import json as _json
     import subprocess
     import sys
@@ -138,9 +151,12 @@ def _scaling_rep_subprocess(cores: int, corpus_path: str, input_bytes: int,
         "corpus.count()\n"
         "_sketch_build_job(spark, corpus.limit(20000), 20000)\n"
         "walls = []\n"
+        f"abort_above = {abort_above!r}\n"
         f"for i in range({max_passes}):\n"
         "    walls.append(_sketch_build_job(spark, corpus, n_docs)"
         "['wall_sec'])\n"
+        "    if abort_above and min(walls) > abort_above:\n"
+        "        break\n"
         "    if i >= 1 and min(walls[:-1]) <= walls[-1] * 1.05:\n"
         "        break\n"
         "spark.stop()\n"
@@ -353,18 +369,32 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
             # the hi level's passes are ~(hi/lo)× cheaper, so buy
             # extra in-session samples there (its min has the
             # higher variance; see BENCH/BASELINE.md)
+            floor = floors_hist.get(cores)
+            abort_above = round(floor * 1.12, 2) if floor else None
             passes = _scaling_rep_subprocess(
                 cores, corpus_path, input_bytes, n_docs,
-                max_passes=3 if cores == lo_ else 5)
+                max_passes=3 if cores == lo_ else 5,
+                abort_above=abort_above)
             w = min(passes)
             walls[cores].append(w)
             raw_walls[cores].append([round(x, 1) for x in passes])
             cost = time.perf_counter() - t0
-            sess_cost[cores] = (cost if cores not in sess_cost
-                                else 0.5 * sess_cost[cores] + 0.5 * cost)
+            # budget-guard EMA tracks the cost of a FULL session: an
+            # early-aborted (loud-window) session is ~1/3 the cost, and
+            # letting it drag the EMA down would green-light sessions
+            # the budget can't actually finish
+            maxp = 3 if cores == lo_ else 5
+            est_full = cost + (maxp - len(passes)) * (
+                sum(passes) / len(passes))
+            sess_cost[cores] = (est_full if cores not in sess_cost
+                                else 0.5 * sess_cost[cores] + 0.5 * est_full)
+            loud = (abort_above is not None and w > abort_above
+                    and len(passes) < (3 if cores == lo_ else 5))
             print(f"#   scaling session {label} cores={cores}: "
                   f"passes {passes} → {w:.1f}s "
-                  f"({n_tokens/w:.0f} tok/s)", flush=True)
+                  f"({n_tokens/w:.0f} tok/s)"
+                  + (" [loud window — aborted early]" if loud else ""),
+                  flush=True)
 
         def eff_now() -> float:
             return (min(walls[lo_]) / min(walls[hi_])) / (hi_ / lo_)
@@ -462,7 +492,11 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                       f"{ {f'c{c}': v for c, v in sorted(floors.items())} } "
                       f"(corroboration band: a level min within 3% counts as reproduced)",
                       flush=True)
-            for _ in range(8):
+            # 14 iterations (was 8): loud-window sessions now abort
+            # after one pass (~1/3 cost), so the same overshoot budget
+            # affords more draws at fresh windows — which is the only
+            # mechanism that rescues a plateau
+            for _ in range(14):
                 stale = [c for c in (hi_, lo_) if not level_ok(c)]
                 plateau_now = not stale and eff_now() > 1.05
                 if not stale and not plateau_now:
@@ -529,7 +563,10 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                        "floor reproduced; targeted retry for the blocking "
                        "level (incl. lo-plateau rescue when eff > 1.05); "
                        "floor reproduction = two-best in-run <=3% OR min "
-                       "within 3% of ledger's cross-run capability floor")
+                       "within 3% of ledger's cross-run capability floor; "
+                       "v6: sessions whose every pass exceeds ledger floor "
+                       "x1.12 abort early (loud window) so the budget "
+                       "samples more independent windows")
     per_rep_eff = [round((lo_w / hi_w) / (hi / lo), 3)
                    for lo_w, hi_w in pair_walls]
     out["per_rep_efficiency"] = per_rep_eff
