@@ -657,6 +657,18 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "part", "shard"))
 
 
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf terms (textstats.distinctive_terms,
+    linear idf): scores are tf·(N/df) — integer counts through one
+    correctly-rounded IEEE division and multiplication, so the doubles
+    are bit-identical across engines and the DuckDB oracle hashes
+    ranks, terms, counts AND scores."""
+    docs = _read(spark, sf_dir, "documents")
+    out = textstats.distinctive_terms(docs, "text", "doc_id", k=3)
+    return out.select("doc_id", F.col("rank").cast("int").alias("rank"),
+                      "term", "tf", F.col("df").alias("dfreq"), "score")
+
+
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary (packing.build_vocab): whitespace
     tokens with count >= 2, ids dense 0-based under (count DESC, token
@@ -914,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_build": q_vocab_build,
         "encode_tokens": q_encode_tokens,
         "pack_sequences": q_pack_sequences,
+        "distinctive_terms": q_distinctive_terms,
         "embedding_dedup": q_embedding_dedup,
         "dedup_clusters": q_dedup_clusters,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -1195,6 +1208,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents"
             " ORDER BY md5(CAST(doc_id AS VARCHAR) || 'reservoir')"
             " LIMIT 100"),
+        "distinctive_terms": (
+            "WITH dt AS ("
+            " SELECT doc_id, word AS term, CAST(COUNT(*) AS BIGINT) AS tf"
+            " FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word"
+            "       FROM documents)"
+            " GROUP BY doc_id, word),"
+            " tdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq"
+            "         FROM dt GROUP BY term),"
+            " n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs"
+            "       FROM documents),"
+            " scored AS ("
+            " SELECT dt.doc_id, dt.term, dt.tf, tdf.dfreq,"
+            " dt.tf * (n.n_docs / tdf.dfreq) AS score"
+            " FROM dt JOIN tdf USING (term) CROSS JOIN n)"
+            " SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id"
+            "   ORDER BY score DESC, term ASC) AS INT) AS rank,"
+            " term, tf, dfreq, score"
+            " FROM scored QUALIFY rank <= 3"),
         "vocab_build": (
             "WITH wc AS ("
             " SELECT word AS token, CAST(COUNT(*) AS BIGINT) AS cnt"

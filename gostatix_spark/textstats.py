@@ -23,7 +23,7 @@ from gostatix_spark import hashing
 
 __all__ = ["quality_features", "repetition_features", "language_id",
            "token_stats", "content_fingerprint", "winnowing_fingerprints",
-           "scrub_pii", "STOPWORDS"]
+           "scrub_pii", "distinctive_terms", "STOPWORDS"]
 
 # deliberately simple character classes — identical semantics in Java
 # regex (Spark) and RE2 (DuckDB), so the op is oracle-checkable
@@ -209,3 +209,49 @@ def winnowing_fingerprints(df: DataFrame, text_col: str, id_col: str,
         return pd.Series(out)
 
     return df.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprints"))
+
+
+def distinctive_terms(df: DataFrame, text_col: str, id_col: str,
+                      k: int = 5, log_idf: bool = False) -> DataFrame:
+    """Per-document top-``k`` salient terms by tf-idf:
+    ``(id, rank, term, tf, df, score)`` with ``rank`` 1..k under
+    ``(score DESC, term ASC)``.
+
+    ``log_idf=False`` (default) scores with the LINEAR idf
+    ``tf · (N / df)``: the score is then built from integer counts
+    with one IEEE division and one multiplication — both correctly
+    rounded, so the doubles are BIT-IDENTICAL on every engine and the
+    ranking (ties broken by term) is deterministic end-to-end; the
+    DuckDB oracle checks ranks, terms, counts AND scores row-exactly.
+    ``log_idf=True`` gives the textbook ``tf · ln(1 + N/df)`` — ln is
+    only faithfully (not correctly) rounded and may differ by 1 ulp
+    between libm implementations, so that variant is gated by pytest
+    vectors rather than a cross-engine value hash.
+
+    Scale shape: one doc-term hash aggregation (map-side combine), one
+    term-level aggregation over the (already distinct) doc-term pairs
+    for document frequency, a term-keyed join to attach df — all
+    shuffles carry count rows, never text — then a per-document window
+    top-k (partitioned by doc id: no global hotspot, per-group state
+    is one document's distinct terms). N is a one-row broadcast
+    aggregate cross-joined in — the corpus size never passes through
+    the driver as data."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " "))
+                     .alias("term"))
+    dt = base.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    term_df = dt.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (dt.join(term_df, "term")
+                .crossJoin(F.broadcast(n_docs)))
+    if log_idf:
+        score = F.col("tf") * F.log1p(F.col("n_docs") / F.col("df"))
+    else:
+        score = F.col("tf") * (F.col("n_docs") / F.col("df"))
+    scored = scored.withColumn("score", score)
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col(id_col), "rank", "term", "tf", "df", "score"))

@@ -879,3 +879,70 @@ class TestCrossDocDupFraction:
         assert len(out) == 30
         assert all(r["n_dup_grams"] == 0 and r["dup_frac"] == 0.0
                    for r in out)
+
+
+class TestDistinctiveTerms:
+    DOCS = [
+        ("a", "spark spark spark rare"),
+        ("b", "spark common common unique"),
+        ("c", "common spark zebra zebra zebra"),
+    ]
+
+    def _py(self, k=5, log_idf=False):
+        import math
+        from collections import Counter
+        n = len(self.DOCS)
+        dfreq = Counter()
+        tfs = {}
+        for d, t in self.DOCS:
+            c = Counter(t.split(" "))
+            tfs[d] = c
+            for w in c:
+                dfreq[w] += 1
+        out = {}
+        for d, c in tfs.items():
+            scored = []
+            for w, tf in c.items():
+                idf = math.log1p(n / dfreq[w]) if log_idf else n / dfreq[w]
+                scored.append((tf * idf, w, tf, dfreq[w]))
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            out[d] = [(i + 1, w, tf, df_, s)
+                      for i, (s, w, tf, df_) in enumerate(scored[:k])]
+        return out
+
+    @pytest.mark.parametrize("log_idf", [False, True])
+    def test_matches_python_reference(self, spark, log_idf):
+        df = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        rows = textstats.distinctive_terms(df, "text", "doc_id", k=3,
+                                           log_idf=log_idf).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["doc_id"], []).append(
+                (r["rank"], r["term"], r["tf"], r["df"], r["score"]))
+        want = self._py(k=3, log_idf=log_idf)
+        assert set(got) == set(want)
+        for d in want:
+            got[d].sort()
+            for (gr, gw, gtf, gdf, gs), (wr, ww, wtf, wdf, ws) in zip(
+                    got[d], want[d]):
+                assert (gr, gw, gtf, gdf) == (wr, ww, wtf, wdf)
+                assert gs == pytest.approx(ws, rel=1e-12)
+
+    def test_linear_idf_scores_are_exact_doubles(self, spark):
+        # tf * (N / df) with integer inputs: one correctly-rounded IEEE
+        # division + one multiplication — bit-identical on any engine
+        df = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        rows = textstats.distinctive_terms(df, "text", "doc_id",
+                                           k=10).collect()
+        for r in rows:
+            assert r["score"] == r["tf"] * (3 / r["df"])
+
+    def test_rank_is_dense_and_capped(self, spark):
+        df = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        rows = textstats.distinctive_terms(df, "text", "doc_id", k=2).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r["rank"])
+        for d, ranks in by_doc.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 2
