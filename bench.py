@@ -122,16 +122,20 @@ def _scaling_rep_subprocess(cores: int, corpus_path: str, input_bytes: int,
     mid-session stops wasting budget). Returns all pass walls.
 
     ``abort_above`` (protocol v6): when set (ledger capability floor
-    × 1.12), a session whose every pass so far exceeds it stops
-    immediately — the window is demonstrably loud, and further passes
-    inside the SAME window cannot reach the floor (interference bursts
-    last minutes). The saved budget buys sessions in NEW windows,
-    which is the only thing that can deepen a per-level min. Unbiased
-    by construction: aborting only truncates sampling of windows whose
-    samples were never going to be the min; every recorded wall is a
-    complete honest pass. Motivated by r5 run 6, where a persistent
-    co-tenant sat on twelve full-length c1 sessions (~60 min of budget
-    measuring the co-tenant, not the job)."""
+    × 1.12), loud windows stop the session early so the budget buys
+    sessions in NEW windows — the only thing that can deepen a
+    per-level min. Adaptive, two tiers: a CATASTROPHIC pass
+    (> 2.5 × abort_above ≈ 2.8× the floor — r5 run 7 drew 8-17×)
+    aborts immediately; a MARGINAL session (every pass above
+    abort_above) gets exactly one more pass before aborting, because
+    the burst-clears-mid-session pattern is real (r2 recorded
+    37.0/28.6/25.8 s — an immediate 1.12× abort would have lost the
+    best pass) while persistently-marginal windows (r5 run 6: twelve
+    c1 sessions at 1.15-1.49× the floor, ~60 min measuring the
+    co-tenant) get capped at two passes. Unbiased by construction:
+    aborting only truncates sampling of windows whose samples were
+    never going to be the min; every recorded wall is a complete
+    honest pass."""
     import json as _json
     import subprocess
     import sys
@@ -155,8 +159,11 @@ def _scaling_rep_subprocess(cores: int, corpus_path: str, input_bytes: int,
         f"for i in range({max_passes}):\n"
         "    walls.append(_sketch_build_job(spark, corpus, n_docs)"
         "['wall_sec'])\n"
-        "    if abort_above and min(walls) > abort_above:\n"
-        "        break\n"
+        "    if abort_above and walls[-1] > 2.5 * abort_above:\n"
+        "        break\n"  # catastrophic window (2.8x floor+): hopeless
+        "    if abort_above and len(walls) >= 2 and"
+        " min(walls) > abort_above:\n"
+        "        break\n"  # marginally loud after a 2nd look: move on
         "    if i >= 1 and min(walls[:-1]) <= walls[-1] * 1.05:\n"
         "        break\n"
         "spark.stop()\n"
@@ -379,15 +386,19 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
             walls[cores].append(w)
             raw_walls[cores].append([round(x, 1) for x in passes])
             cost = time.perf_counter() - t0
-            # budget-guard EMA tracks the cost of a FULL session: an
-            # early-aborted (loud-window) session is ~1/3 the cost, and
-            # letting it drag the EMA down would green-light sessions
-            # the budget can't actually finish
-            maxp = 3 if cores == lo_ else 5
-            est_full = cost + (maxp - len(passes)) * (
-                sum(passes) / len(passes))
-            sess_cost[cores] = (est_full if cores not in sess_cost
-                                else 0.5 * sess_cost[cores] + 0.5 * est_full)
+            # budget-guard EMA over ACTUAL session costs. (A v6 interim
+            # variant extrapolated aborted sessions to full-session cost
+            # at the LOUD window's pass speed — r5 run 7 showed that
+            # forecast is catastrophically wrong: one 367 s pass priced
+            # the "next session" at ~1900 s and the guard froze the
+            # remaining half of the budget that cheap aborted probes
+            # could have spent sampling new windows. Actual cost is the
+            # right scale for both futures: a loud next window aborts at
+            # ~1 pass again, a quiet one runs full passes at floor speed
+            # — both within ~2× of the last actual cost, and the retry
+            # loop's 20-35% overshoot allowances absorb that error.)
+            sess_cost[cores] = (cost if cores not in sess_cost
+                                else 0.5 * sess_cost[cores] + 0.5 * cost)
             loud = (abort_above is not None and w > abort_above
                     and len(passes) < (3 if cores == lo_ else 5))
             print(f"#   scaling session {label} cores={cores}: "
@@ -564,9 +575,10 @@ def _run_scaling(n_docs: int, partitions: int, seed: int = 42,
                        "level (incl. lo-plateau rescue when eff > 1.05); "
                        "floor reproduction = two-best in-run <=3% OR min "
                        "within 3% of ledger's cross-run capability floor; "
-                       "v6: sessions whose every pass exceeds ledger floor "
-                       "x1.12 abort early (loud window) so the budget "
-                       "samples more independent windows")
+                       "v6: loud-window sessions abort early (catastrophic "
+                       "pass >2.8x ledger floor: immediately; marginal "
+                       ">1.12x: after a 2nd pass) so the budget samples "
+                       "more independent windows")
     per_rep_eff = [round((lo_w / hi_w) / (hi / lo), 3)
                    for lo_w, hi_w in pair_walls]
     out["per_rep_efficiency"] = per_rep_eff
