@@ -695,6 +695,22 @@ def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                      " x -> cast(x as string)), ' ')")).alias("ids_fp"))
 
 
+def q_decode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip decode (packing.decode_tokens) of q:encode_tokens'
+    id sequences back through the same top-25 vocabulary. The decoded
+    string must equal the source text with every out-of-vocabulary
+    word replaced by '<unk>' — the DuckDB oracle computes that
+    expected string DIRECTLY from the documents table (word-wise
+    replacement), so the check closes the encode→decode loop against
+    the source rather than against the encoder's own output."""
+    docs = _read(spark, sf_dir, "documents")
+    vocab = packing.build_vocab(docs, "text", vocab_size=25)
+    enc = packing.encode_tokens(docs, "doc_id", "text", vocab)
+    dec = packing.decode_tokens(enc, "doc_id", "token_ids", vocab)
+    return dec.select("doc_id", "n_tok", "n_unk",
+                      F.md5(F.col("text")).alias("text_fp"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (packing.pack_sequences) in the
     at-scale shape: 16 hash-prefix parts, per-part deterministic
@@ -925,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "vocab_build": q_vocab_build,
         "encode_tokens": q_encode_tokens,
+        "decode_tokens": q_decode_tokens,
         "pack_sequences": q_pack_sequences,
         "distinctive_terms": q_distinctive_terms,
         "embedding_dedup": q_embedding_dedup,
@@ -1257,6 +1274,32 @@ def oracle_sql() -> dict[str, str]:
             "      AS BIGINT) AS n_unk,"
             " md5(string_agg(CAST(COALESCE(v.token_id, -1) AS VARCHAR),"
             "     ' ' ORDER BY t.pos)) AS ids_fp"
+            " FROM tok t LEFT JOIN vocab v ON t.word = v.token"
+            " GROUP BY t.doc_id"),
+        "decode_tokens": (
+            # expected decode(encode(text)) computed DIRECTLY from the
+            # source: each word not in the top-25 vocab becomes '<unk>'
+            "WITH wc AS ("
+            " SELECT word AS token, COUNT(*) AS cnt"
+            " FROM (SELECT unnest(string_split(text, ' ')) AS word"
+            "       FROM documents)"
+            " GROUP BY word),"
+            " vocab AS ("
+            " SELECT token,"
+            " CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1"
+            "      AS INT) AS token_id"
+            " FROM wc QUALIFY token_id < 25),"
+            " tok AS ("
+            " SELECT doc_id,"
+            " unnest(string_split(text, ' ')) AS word,"
+            " unnest(range(0, len(string_split(text, ' ')))) AS pos"
+            " FROM documents)"
+            " SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,"
+            " CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)"
+            "      AS BIGINT) AS n_unk,"
+            " md5(string_agg(CASE WHEN v.token_id IS NULL THEN '<unk>'"
+            "                     ELSE t.word END, ' ' ORDER BY t.pos))"
+            "   AS text_fp"
             " FROM tok t LEFT JOIN vocab v ON t.word = v.token"
             " GROUP BY t.doc_id"),
         "pack_sequences": (

@@ -25,7 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["build_vocab", "encode_tokens", "pack_sequences"]
+__all__ = ["build_vocab", "encode_tokens", "decode_tokens",
+           "pack_sequences"]
 
 
 def build_vocab(df: DataFrame, text_col: str,
@@ -95,6 +96,43 @@ def encode_tokens(df: DataFrame, id_col: str, text_col: str,
                  F.count("*").cast("long").alias("n_tok"),
                  F.sum(F.when(F.col("tid") == unk_id, 1).otherwise(0))
                   .cast("long").alias("n_unk")))
+
+
+def decode_tokens(df: DataFrame, id_col: str, ids_col: str,
+                  vocab: DataFrame, unk_token: str = "<unk>",
+                  out_col: str = "text") -> DataFrame:
+    """Inverse of :func:`encode_tokens`: map each document's id array
+    back to its whitespace-joined token string via ``vocab`` (columns
+    ``token``, ``token_id``); ids with no vocab row — the ``unk_id``
+    sentinel, or any stale id after a vocab rebuild — decode to
+    ``unk_token``. Returns ``(id_col, out_col, n_tok, n_unk)``.
+    Round trip: ``decode(encode(text))`` equals ``text`` with every
+    out-of-vocabulary word replaced by ``unk_token`` (exact identity
+    when the vocab is un-truncated) — property-tested and oracled.
+
+    Scale shape mirrors the encoder: posexplode carries each id's
+    position, the vocab joins BROADCAST (map-side, zero shuffle), and
+    one doc-keyed aggregation reassembles the string in position order
+    through ``array_join(transform(array_sort(collect_list(...))))`` —
+    higher-order expressions end to end, no per-row Python.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(ids_col)).alias("pos", "tid"))
+    joined = tok.join(
+        F.broadcast(vocab.select(F.col("token_id").alias("tid"),
+                                 "token")),
+        "tid", "left")
+    word = F.coalesce(F.col("token"), F.lit(unk_token))
+    return (joined.select(F.col(id_col), F.col("pos"), word.alias("w"),
+                          F.col("token").isNull().alias("unk"))
+            .groupBy(id_col)
+            .agg(F.expr("array_join(transform(array_sort(collect_list("
+                        "struct(pos, w))), x -> x.w), ' ')")
+                  .alias(out_col),
+                 F.count("*").cast("long").alias("n_tok"),
+                 F.sum(F.col("unk").cast("int")).cast("long")
+                  .alias("n_unk")))
 
 
 def pack_sequences(df: DataFrame, id_col: str, text_col: str,

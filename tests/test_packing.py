@@ -84,6 +84,47 @@ class TestEncodeTokens:
             assert enc[doc_id]["n_unk"] == sum(w not in py for w in words)
 
 
+class TestDecodeTokens:
+    def test_roundtrip_identity_full_vocab(self, spark):
+        df = _df(spark)
+        vocab = packing.build_vocab(df, "text")
+        enc = packing.encode_tokens(df, "doc_id", "text", vocab)
+        dec = {r["doc_id"]: r for r in
+               packing.decode_tokens(enc, "doc_id", "token_ids", vocab)
+               .collect()}
+        for doc_id, text in DOCS:
+            assert dec[doc_id]["text"] == text
+            assert dec[doc_id]["n_unk"] == 0
+            assert dec[doc_id]["n_tok"] == len(text.split(" "))
+
+    def test_oov_roundtrip_replaces_with_unk(self, spark):
+        df = _df(spark)
+        vocab = packing.build_vocab(df, "text", vocab_size=3)
+        py = _py_vocab(DOCS, vocab_size=3)
+        enc = packing.encode_tokens(df, "doc_id", "text", vocab)
+        dec = {r["doc_id"]: r for r in
+               packing.decode_tokens(enc, "doc_id", "token_ids", vocab,
+                                     unk_token="@@")
+               .collect()}
+        for doc_id, text in DOCS:
+            words = text.split(" ")
+            want = " ".join(w if w in py else "@@" for w in words)
+            assert dec[doc_id]["text"] == want
+            assert dec[doc_id]["n_unk"] == sum(w not in py for w in words)
+
+    def test_stale_id_decodes_to_unk(self, spark):
+        # an id outside the vocab range (e.g. after a vocab rebuild)
+        # must decode to unk_token, not drop or error
+        vocab = packing.build_vocab(_df(spark), "text")
+        n = vocab.count()
+        enc = spark.createDataFrame([("dx", [0, n + 17, 1])],
+                                    ["doc_id", "token_ids"])
+        row = packing.decode_tokens(enc, "doc_id", "token_ids",
+                                    vocab).collect()[0]
+        assert row["n_unk"] == 1
+        assert "<unk>" in row["text"].split(" ")
+
+
 def _py_packs(docs, seq_len, salt="order", part_hex_chars=0):
     """Reference packing: md5 order, concat, chunk per part."""
     keyed = sorted(((_md5(d + salt), d, t.split(" ")) for d, t in docs))
