@@ -109,6 +109,10 @@ def decode_tokens(df: DataFrame, id_col: str, ids_col: str,
     Round trip: ``decode(encode(text))`` equals ``text`` with every
     out-of-vocabulary word replaced by ``unk_token`` (exact identity
     when the vocab is un-truncated) — property-tested and oracled.
+    A document whose id array is empty or null produces no output row
+    (posexplode emits nothing); :func:`encode_tokens` never emits an
+    empty array, so this only concerns externally-produced inputs —
+    left-join the result back onto the input to keep such rows.
 
     Scale shape mirrors the encoder: posexplode carries each id's
     position, the vocab joins BROADCAST (map-side, zero shuffle), and
