@@ -737,8 +737,10 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.1) — orders of magnitude above the ~1e-15 summation-order
     discrepancy between the engines, so no pair can flip sides;
     tests/test_entry.py guards the margin against data regeneration."""
-    emb = (_read(spark, sf_dir, "embeddings").where("vec_id < 1200")
-           .repartition(32))
+    # no input repartition: the blocked-matmul exact path reshuffles by
+    # block hash immediately (its own parallelism knob), so an up-front
+    # repartition of the single-file scan was one pure-overhead Exchange
+    emb = _read(spark, sf_dir, "embeddings").where("vec_id < 1200")
     return (dedup.embedding_dedup_pairs(emb, "vec_id", "embedding",
                                         threshold=0.35, method="exact")
             .select("id_a", "id_b"))

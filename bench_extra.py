@@ -5,6 +5,8 @@ warmed session — the per-query complement of the frozen bench.py.
     python bench_extra.py [query ...]        # default: all queries
     SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in bench.py
     BENCH_EXTRA_REPS=N     best-of-N per query (default 1)
+    BENCH_EXTRA_SINK=count|noop  count mirrors bench.py's timed action
+                           (default); noop computes every column (§1.4)
     BENCH_EXTRA_OUT=path   JSON detail file (default BENCH/bench_extra_latest.json)
 
 Prints one JSON line {"queries": {name: sec}, "value": total}.
@@ -41,7 +43,10 @@ def main() -> None:
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            if os.environ.get("BENCH_EXTRA_SINK", "count") == "noop":
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
             dt = time.perf_counter() - t0
             timings.setdefault(name, []).append(round(dt, 3))
             spark.catalog.clearCache()

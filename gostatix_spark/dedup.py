@@ -538,14 +538,22 @@ def embedding_dedup_pairs(emb: DataFrame, id_col: str = "vec_id",
                           threshold: float = 0.9, method: str = "lsh",
                           n_bits: int = 64, n_chunks: int = 8,
                           seed: int = 9,
-                          max_bucket_size: int | None = None) -> DataFrame:
+                          max_bucket_size: int | None = None,
+                          exact_blocks: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ``[id_a, id_b, cosine]``
     with cosine ≥ threshold — the fifth dedup family (exact, MinHash,
     SimHash, n-gram Jaccard, embedding-cosine).
 
-    ``method='exact'``: full (a.id < b.id) self-join with the JVM
-    cosine expression — quadratic; the verification/oracle path and
-    fine for bounded id ranges.
+    ``method='exact'``: all-pairs cosine via BLOCKED MATMUL — rows hash
+    into ``exact_blocks`` groups, every unordered block pair becomes one
+    task whose pairwise-cosine matrix is a single numpy matmul (each
+    block ships ``exact_blocks`` times: total shuffle is n·blocks rows,
+    never n² — and the n² arithmetic runs vectorized instead of one
+    interpreted ``zip_with``/``aggregate`` fold per pair, which the
+    optimizer additionally pushed into the nested-loop join condition
+    where it was evaluated for BOTH orderings of every pair).
+    Quadratic by nature: the verification/oracle path, fine for bounded
+    id ranges only.
 
     ``method='lsh'`` (the 100 TB path): random-hyperplane signature
     (one matmul per Arrow batch, :func:`similarity.hyperplane_signature`)
@@ -560,19 +568,8 @@ def embedding_dedup_pairs(emb: DataFrame, id_col: str = "vec_id",
     va = F.col("_va").cast("array<double>")
     vb = F.col("_vb").cast("array<double>")
     if method == "exact":
-        # normalize each side ONCE (O(n) rows) so the quadratic pair
-        # expression is a single zip_with/aggregate dot product instead
-        # of three (dot + both norms recomputed per pair) — 3× less
-        # higher-order-function work in the O(n²) hot path
-        unit = similarity.unit_vector_col(F.col(vec_col))
-        a = emb.select(F.col(id_col).alias("id_a"), unit.alias("_va"))
-        b = emb.select(F.col(id_col).alias("id_b"), unit.alias("_vb"))
-        dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        return (a.join(b, F.col("id_a") < F.col("id_b"))
-                .withColumn("cosine", dot)
-                .where(F.col("cosine") >= threshold)
-                .select("id_a", "id_b", "cosine"))
+        return _exact_pairs_blocked(emb, id_col, vec_col, threshold,
+                                    exact_blocks)
     if method != "lsh":
         raise ValueError(f"unknown method {method!r} (exact | lsh)")
     # band-style single join (the minhash LSH shape, ONE shuffle of
@@ -608,6 +605,77 @@ def embedding_dedup_pairs(emb: DataFrame, id_col: str = "vec_id",
             .withColumn("cosine", dot)
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def _exact_pairs_blocked(emb: DataFrame, id_col: str, vec_col: str,
+                         threshold: float, n_blocks: int) -> DataFrame:
+    """All-pairs cosine ≥ threshold by blocked matmul (see
+    :func:`embedding_dedup_pairs` ``method='exact'``). Each row lands in
+    block ``xxhash64(id) mod n_blocks``; one task per unordered block
+    pair computes its cosine sub-matrix with numpy and emits the
+    surviving ``(id_a, id_b, cosine)`` rows with ``id_a < id_b``.
+    Vectors are L2-normalized in float64, so the cosine equals the
+    unit-vector dot product (summation order differs from a left-fold
+    by O(ulp) — callers thresholding near-ties should keep the margin
+    analysis of their oracle, as q:embedding_dedup does)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = emb.schema[id_col].dataType
+    out_schema = StructType([
+        StructField("id_a", id_type, True),
+        StructField("id_b", id_type, True),
+        StructField("cosine", DoubleType(), True)])
+    nb = max(1, int(n_blocks))
+    sides = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
+        .alias("_blk"))
+    blocks = sides.groupBy("_blk").agg(
+        F.collect_list(F.struct(F.col("_id"), F.col("_v"))).alias("_rows"))
+    bp = (blocks.alias("a")
+          .join(blocks.alias("b"), F.col("a._blk") <= F.col("b._blk"))
+          .select(F.col("a._blk").alias("_ba"), F.col("b._blk").alias("_bb"),
+                  F.col("a._rows").alias("_ra"), F.col("b._rows").alias("_rb"))
+          # one task per block pair: each carries two O(n/nb) vector
+          # lists and does an O((n/nb)²·dim) matmul — spread them
+          .repartition(nb * (nb + 1) // 2, "_ba", "_bb"))
+    thr = float(threshold)
+
+    def _unit(rows) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.asarray([r["_id"] for r in rows])
+        X = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        return ids, X / norms
+
+    def score(pdfs):
+        for pdf in pdfs:
+            for ra, rb, same in zip(pdf["_ra"], pdf["_rb"],
+                                    (pdf["_ba"] == pdf["_bb"]).tolist()):
+                if len(ra) == 0 or len(rb) == 0:
+                    continue
+                ia, A = _unit(ra)
+                if same:
+                    ib, B = ia, A
+                else:
+                    ib, B = _unit(rb)
+                S = A @ B.T
+                if same:
+                    # upper triangle by id: each unordered pair once
+                    ii, jj = np.nonzero((S >= thr)
+                                        & (ia[:, None] < ib[None, :]))
+                    lo, hi = ia[ii], ib[jj]
+                else:
+                    # distinct blocks hold distinct ids; order per pair
+                    ii, jj = np.nonzero(S >= thr)
+                    lo = np.minimum(ia[ii], ib[jj])
+                    hi = np.maximum(ia[ii], ib[jj])
+                yield pd.DataFrame({"id_a": lo, "id_b": hi,
+                                    "cosine": S[ii, jj]})
+
+    return bp.mapInPandas(score, out_schema) \
+        .select("id_a", "id_b", "cosine")
 
 
 def connected_components(pairs: DataFrame, a_col: str = "id_a",
@@ -651,6 +719,11 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     def large_star(edges: DataFrame) -> DataFrame:
         # for every node n: m = min(N(n) ∪ {n}); emit (w, m) for each
         # neighbour w > n. Needs the symmetric neighbour view.
+        # NO dedup here: duplicate edges never change any min, the next
+        # small_star's groupBy absorbs them, and every .distinct() in
+        # the loop body is one more Exchange + AQE stage round-trip —
+        # the loop's actual cost on contracted edge sets. Transient
+        # growth is bounded (each input edge yields ≤ 2 emissions).
         sym = edges.union(edges.select(F.col("v").alias("u"),
                                        F.col("u").alias("v")))
         mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
@@ -658,50 +731,55 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         return (sym.join(mins, "u")
                    .where(F.col("v") > F.col("u"))
                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                   .where(F.col("u") != F.col("v"))
-                   .distinct())
+                   .where(F.col("u") != F.col("v")))
 
-    def small_star(edges: DataFrame) -> DataFrame:
+    def small_star(edges: DataFrame, dedup: bool) -> DataFrame:
         # canonical edges group by u = exactly the smaller neighbours
         # N⁻(u); m = min(N⁻(u)); emit (w, m) for w ∈ N⁻(u)\{m} plus
-        # (u, m) itself.
+        # (u, m) itself. ``dedup`` is applied only on the LAST round
+        # before a checkpoint/test (the star test's multi-centre count
+        # needs a deduped edge set; intermediate rounds don't).
         mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-        return (edges.join(mins, "u")
-                     .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                     .where(F.col("u") != F.col("v"))
-                     .union(mins.select("u", F.col("m").alias("v")))
-                     .distinct())
+        out = (edges.join(mins, "u")
+                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                    .where(F.col("u") != F.col("v"))
+                    .union(mins.select("u", F.col("m").alias("v"))))
+        return out.distinct() if dedup else out
 
     for _ in range(max_iter):
+        # CONTRACT FIRST, test after: the first star test almost
+        # always finds violations on a real near-dup graph, so the
+        # pre-test of the raw edges was a wasted driver action;
+        # running a contraction round on an already-converged input
+        # is a provable no-op, so the reorder can never change the
+        # result. TWO contraction rounds per checkpoint+test: the
+        # test costs a driver action either way, extra rounds past
+        # convergence are no-ops, and round count is O(log² n) —
+        # halving the action count costs at most one no-op round.
+        e = small_star(large_star(e), dedup=False)
+        e = small_star(large_star(e), dedup=True).localCheckpoint(eager=False)
         # star test: members (u) and centres (v) disjoint, one centre
-        # per member — equivalently both stars are no-ops. Both
-        # violation families are counted in ONE action (the driver
-        # round-trips, not the row counts, dominate on contracted edge
-        # sets): (a) nodes playing both roles, via a role-flag
-        # aggregation instead of a distinct+semi-join; (b) members
-        # with >1 centre — count(*) suffices because every round ends
-        # in .distinct(). The count also materializes the previous
-        # round's lazy checkpoint, so each round is a single job.
+        # per member — equivalently both stars are no-ops. ONE
+        # aggregation + ONE action (the driver round-trips and AQE
+        # stage count, not the row counts, dominate on contracted edge
+        # sets): per node n, su = #edges where n is a member, sv = n
+        # seen as a centre; violation ⇔ (member AND centre) OR
+        # (member of > 1 centre — su counts exact edges because the
+        # round above ended in .distinct()). The count also
+        # materializes this round's lazy checkpoint, so each round is
+        # a single job.
         roles = (e.select(F.col("u").alias("n"),
                           F.lit(1).alias("iu"), F.lit(0).alias("iv"))
                   .union(e.select(F.col("v").alias("n"),
                                   F.lit(0).alias("iu"),
                                   F.lit(1).alias("iv"))))
-        cross = (roles.groupBy("n")
-                      .agg(F.max("iu").alias("iu"), F.max("iv").alias("iv"))
-                      .where((F.col("iu") == 1) & (F.col("iv") == 1)))
-        multi = (e.groupBy("u").agg(F.count("*").alias("k"))
-                  .where(F.col("k") > 1))
-        n_viol = (cross.select(F.lit(1).alias("one"))
-                       .union(multi.select(F.lit(1).alias("one"))).count())
+        n_viol = (roles.groupBy("n")
+                       .agg(F.sum("iu").alias("su"), F.max("iv").alias("sv"))
+                       .where(((F.col("su") > 0) & (F.col("sv") > 0))
+                              | (F.col("su") > 1))
+                       .count())
         if n_viol == 0:
             break
-        # TWO contraction rounds per checkpoint+test: the test costs a
-        # driver action either way, extra rounds past convergence are
-        # provably no-ops, and round count is O(log² n) — so halving
-        # the action count costs at most one wasted no-op round
-        e = small_star(large_star(e))
-        e = small_star(large_star(e)).localCheckpoint(eager=False)
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
