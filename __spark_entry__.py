@@ -256,19 +256,21 @@ def q_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality). Read back in CMS-estimate mode (the capped contract;
     exact=True raises on the capped state).
 
-    Oracle validity: the CMS is sized (eps=2e-5 ⇒ w=135,914 ≫ 14.7k
+    Oracle validity: the CMS is sized (eps=1e-4 ⇒ w=27,183 ≫ 14.7k
     distinct) so the min-over-d=5-rows estimate equals the exact count
-    w.h.p. (all-5-rows-collide odds ≈ 1e-5 per key, and the hashing is
-    deterministic — verified against DuckDB at the driver's sf0.01),
-    making the exact GROUP BY a full value oracle: ranks, elements AND
-    counts."""
+    w.h.p. (the hashing is deterministic — equality with the exact
+    GROUP BY verified against DuckDB at sf0.001/0.01/0.1), making the
+    exact GROUP BY a full value oracle: ranks, elements AND counts.
+    (r5 used eps=2e-5 ⇒ w=135,915: each of 32 phase-1 partitions
+    shipped a 5.4 MB d·w partial into ONE merge group — ~174 MB through
+    a single reducer for no extra oracle margin; 1e-4 cuts that 5×.)"""
     li = _read(spark, sf_dir, "lineitem")
     elems = li.selectExpr(
         "CASE WHEN l_partkey % 20 = 0"
         " THEN concat('hot', cast(l_partkey % 200 as string))"
         " ELSE concat('u', cast(l_orderkey % 20000 as string)) END AS elem") \
         .repartition(32)  # single-file testdata → parallelize phase 1
-    states = sketch_agg(elems, "topk", "elem", k=10, eps=0.00002,
+    states = sketch_agg(elems, "topk", "elem", k=10, eps=0.0001,
                         slack=8, max_distinct=4096)
     return (topk_values(states, exact=False, decode="string")
             .select("rank", F.col("element").alias("elem"),
@@ -522,10 +524,12 @@ def q_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-windowed sketch: distinct users per (event_type, hour) —
     composite key demo; gate = estimates within the published bound
     (estimates themselves are rows-only; the gate has an oracle)."""
+    # two consumers (sketch build + exact countDistinct) — persist so
+    # the scan + repartition + key projection runs once, not per branch
     events = _read(spark, sf_dir, "events").repartition(32).withColumn(
         "etype_hour", F.concat_ws("|", "event_type",
                                   F.date_format(F.date_trunc("hour", "ts"),
-                                                "yyyy-MM-dd HH")))
+                                                "yyyy-MM-dd HH"))).persist()
     states = sketch_agg(events, "hll", "user_id", key_col="etype_hour",
                         m=4096, merge_buckets=32)
     est = hll_estimate(states).select("etype_hour", "est_distinct")
@@ -563,8 +567,17 @@ def q_hll_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.concat_ws("|", "event_type",
                                       F.date_format("h", "yyyy-MM-dd HH")))
               .persist())
+    # states feeds BOTH sides (key_a / key_b) of the pair scoring join
+    # and the two-phase keyed HLL build is this query's most expensive
+    # subtree (~3.7 s: 32 partitions × 3.4k keys of 4 KB partials) —
+    # Catalyst does not dedup common subtrees, so without the persist
+    # it ran TWICE inside the estimate branch. 3.4k final rows × 4 KB
+    # ≈ 14 MB cached. (wins/pairs stay unpersisted: they are cheap
+    # projections whose fresh plans keep their joins broadcastable —
+    # persisting them was measured SLOWER, InMemoryRelation's default
+    # stats turn the small-side joins into sort-merge.)
     states = sketch_agg(events, "hll", "user_id", key_col="etype_hour",
-                        m=m, merge_buckets=32)
+                        m=m, merge_buckets=32).persist()
     wins = events.select("event_type", "h").distinct()
     key = lambda side: F.concat_ws(  # noqa: E731
         "|", F.col(f"{side}.event_type"),
@@ -580,8 +593,8 @@ def q_hll_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first keeps the user self-join linear in (pairs × window users) —
     # an unrestricted users⋈users on user_id would enumerate every
     # co-occurring window pair (~67M rows at sf0.1) to then discard
-    # all but the adjacent ones
-    users = events.select("etype_hour", "user_id").distinct()
+    # all but the adjacent ones. users feeds both join sides: persist.
+    users = events.select("etype_hour", "user_id").distinct().persist()
     exact = (pairs
              .join(users.alias("ua"),
                    F.col("key_a") == F.col("ua.etype_hour"))
@@ -917,6 +930,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_membership": q_cuckoo_membership,
         "cuckoo_membership_join": q_cuckoo_membership_join,
         "sketch_roundtrip": q_sketch_roundtrip,
+        # ann_ivf before ann_ivf_partial (the partial probe reuses the
+        # session-scoped index); both moved UP from the dict tail after
+        # the r5 driver correctness run was wall-clock-truncated before
+        # its last two entries (VERDICT r5 #2) — dict order is the
+        # driver's execution order, and nothing here depends on the
+        # later queries
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_partial": q_ann_ivf_partial,
         "tdigest_gate": q_tdigest_gate,
         "kll_gate": q_kll_gate,
         "quantile_values": q_quantile_values,
@@ -951,8 +972,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_partial": q_ann_ivf_partial,
     }
 
 

@@ -504,7 +504,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                          f"transform(sequence(0, size(w)-{n}), "
                          f"i -> concat_ws(' ', slice(w, i+1, {n})))"))
                      .alias("gram"))
-             .distinct())
+             .distinct()
+             # three consumers (sizes + both self-join sides) and
+             # Catalyst does not dedup common subtrees: checkpoint so
+             # the corpus-scale explode+distinct (and its shuffle) runs
+             # once, not three times (same pattern as
+             # cross_doc_dup_fraction)
+             .localCheckpoint(eager=False))
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     join_grams = grams
     if max_gram_df is not None:
@@ -795,20 +801,25 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
 
 
 def _word_grams(df: DataFrame, text_col: str, id_col: str,
-                n: int) -> DataFrame:
+                n: int, distinct: bool = True) -> DataFrame:
     """[id, gram] — DISTINCT lower-cased word ``n``-grams per document
     (split on single spaces, matching the DuckDB-oracle convention used
     across this module). Pure JVM expressions: split → sequence →
-    transform(slice → concat_ws) → explode; no Python in the path."""
+    transform(slice → concat_ws) → explode; no Python in the path.
+
+    ``distinct=False`` skips the (id, gram) dedup shuffle — for callers
+    that filter the exploded grams first and dedup the (far smaller)
+    survivor set themselves; a row-wise gram predicate commutes with
+    the dedup, so the result is identical."""
     words = F.split(F.lower(F.col(text_col)), " ")
-    return (df.select(F.col(id_col).alias("id"), words.alias("w"))
-            .where(F.size("w") >= n)
-            .select("id",
-                    F.explode(F.expr(
-                        f"transform(sequence(0, size(w)-{n}), "
-                        f"i -> concat_ws(' ', slice(w, i+1, {n})))"))
-                    .alias("gram"))
-            .distinct())
+    out = (df.select(F.col(id_col).alias("id"), words.alias("w"))
+           .where(F.size("w") >= n)
+           .select("id",
+                   F.explode(F.expr(
+                       f"transform(sequence(0, size(w)-{n}), "
+                       f"i -> concat_ws(' ', slice(w, i+1, {n})))"))
+                   .alias("gram")))
+    return out.distinct() if distinct else out
 
 
 def ngram_decontaminate(train: DataFrame, eval_df: DataFrame,
@@ -846,10 +857,16 @@ def ngram_decontaminate(train: DataFrame, eval_df: DataFrame,
     from gostatix_spark.agg import bloom_build_sharded
     from gostatix_spark.query import bloom_contains_sharded
 
-    ev = _word_grams(eval_df, text_col, id_col, n) \
+    ev = _word_grams(eval_df, text_col, id_col, n, distinct=False) \
         .select("gram").distinct().persist()
     n_ev = ev.count()
-    tr = _word_grams(train, text_col, id_col, n)
+    # train side: raw (id, gram) rows — the Bloom prefilter and exact
+    # semi join are row-wise gram predicates, so they COMMUTE with the
+    # per-doc dedup. Filtering first means the corpus-scale explode
+    # never shuffles: only true hits (+ the eps FP sliver) reach the
+    # survivor distinct, where the old shape paid a full (id, gram)
+    # dedup shuffle of every training gram before filtering any.
+    tr = _word_grams(train, text_col, id_col, n, distinct=False)
     if n_ev and use_bloom:
         spark = train.sparkSession
         states = bloom_build_sharded(ev, "gram", n=n_ev, eps=eps,
@@ -860,6 +877,7 @@ def ngram_decontaminate(train: DataFrame, eval_df: DataFrame,
                                              F.col("gram"), "string",
                                              n_shards=n_shards))
     return (tr.join(F.broadcast(ev), "gram", "left_semi")
+            .distinct()
             .groupBy("id")
             .agg(F.count("*").alias("n_hit_grams")))
 

@@ -85,16 +85,19 @@ def encode_tokens(df: DataFrame, id_col: str, text_col: str,
     tok = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " "))
-         .alias("pos", "token"))
-    joined = tok.join(F.broadcast(vocab.select("token", "token_id")),
-                      "token", "left")
+         .alias("__pos", "__token"))
+    joined = tok.join(F.broadcast(
+        vocab.select(F.col("token").alias("__token"), "token_id")),
+        "__token", "left")
     tid = F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("int")
-    return (joined.select(F.col(id_col), F.col("pos"), tid.alias("tid"))
+    return (joined.select(F.col(id_col), F.col("__pos"),
+                          tid.alias("__tid"))
             .groupBy(id_col)
             .agg(F.expr("transform(array_sort(collect_list("
-                        "struct(pos, tid))), x -> x.tid)").alias(out_col),
+                        "struct(__pos, __tid))), x -> x.__tid)")
+                 .alias(out_col),
                  F.count("*").cast("long").alias("n_tok"),
-                 F.sum(F.when(F.col("tid") == unk_id, 1).otherwise(0))
+                 F.sum(F.when(F.col("__tid") == unk_id, 1).otherwise(0))
                   .cast("long").alias("n_unk")))
 
 
@@ -108,7 +111,10 @@ def decode_tokens(df: DataFrame, id_col: str, ids_col: str,
     ``unk_token``. Returns ``(id_col, out_col, n_tok, n_unk)``.
     Round trip: ``decode(encode(text))`` equals ``text`` with every
     out-of-vocabulary word replaced by ``unk_token`` (exact identity
-    when the vocab is un-truncated) — property-tested and oracled.
+    only for a FULL vocab — ``vocab_size=None`` AND ``min_count=1``;
+    either truncation drops tokens and breaks the identity) —
+    property-tested and oracled. Internal aliases are ``__``-prefixed
+    so an ``id_col`` named e.g. ``pos`` or ``token`` cannot collide.
     A document whose id array is empty or null produces no output row
     (posexplode emits nothing); :func:`encode_tokens` never emits an
     empty array, so this only concerns externally-produced inputs —
@@ -122,20 +128,21 @@ def decode_tokens(df: DataFrame, id_col: str, ids_col: str,
     """
     tok = df.select(
         F.col(id_col),
-        F.posexplode(F.col(ids_col)).alias("pos", "tid"))
+        F.posexplode(F.col(ids_col)).alias("__pos", "__tid"))
     joined = tok.join(
-        F.broadcast(vocab.select(F.col("token_id").alias("tid"),
-                                 "token")),
-        "tid", "left")
-    word = F.coalesce(F.col("token"), F.lit(unk_token))
-    return (joined.select(F.col(id_col), F.col("pos"), word.alias("w"),
-                          F.col("token").isNull().alias("unk"))
+        F.broadcast(vocab.select(F.col("token_id").alias("__tid"),
+                                 F.col("token").alias("__token"))),
+        "__tid", "left")
+    word = F.coalesce(F.col("__token"), F.lit(unk_token))
+    return (joined.select(F.col(id_col), F.col("__pos"),
+                          word.alias("__w"),
+                          F.col("__token").isNull().alias("__unk"))
             .groupBy(id_col)
             .agg(F.expr("array_join(transform(array_sort(collect_list("
-                        "struct(pos, w))), x -> x.w), ' ')")
+                        "struct(__pos, __w))), x -> x.__w), ' ')")
                   .alias(out_col),
                  F.count("*").cast("long").alias("n_tok"),
-                 F.sum(F.col("unk").cast("int")).cast("long")
+                 F.sum(F.col("__unk").cast("int")).cast("long")
                   .alias("n_unk")))
 
 

@@ -42,10 +42,17 @@ def _hash_pd(s: pd.Series, element: str, algo: str):
         return hashing.hash_int64s(s.to_numpy(dtype=np.int64), algo)
     if element == "int32":
         return hashing.hash_tokens(s.to_numpy(dtype=np.int64), algo)
-    if element == "string":
-        return hashing.hash_bytes_batch([x.encode("utf-8") for x in s], algo)
-    if element == "binary":
-        return hashing.hash_bytes_batch([bytes(x) for x in s], algo)
+    if element in ("string", "binary"):
+        # Arrow does the utf-8 encode / buffer concat in C; the kernel
+        # hashes the flat buffer via length-grouped matrices — no
+        # per-element Python (the old list-comprehension .encode()
+        # dominated probe UDFs on multi-million-row gram columns)
+        import pyarrow as pa
+        from gostatix_spark.agg import _arrow_var_bytes
+        arr = pa.Array.from_pandas(
+            s, type=pa.string() if element == "string" else pa.binary())
+        values, offsets = _arrow_var_bytes(arr)
+        return hashing.hash_var_bytes(values, offsets, algo)
     if element == "token_array":
         lens = s.map(len).to_numpy(dtype=np.int64)
         offsets = np.concatenate(([0], np.cumsum(lens)))
