@@ -304,7 +304,11 @@ class _Spec:
     def finalize(self, acc) -> tuple[bytes, int]:
         p = self.p
         if self.kind == "hll":
-            return HLLState(p["m"], acc[0], acc[1]).to_bytes(), acc[1]
+            # finalize emits PHASE-1 PARTIALS: sparse encoding (state.py
+            # v2) shrinks mostly-empty register frames; phase 2 decodes
+            # transparently and re-emits dense
+            return (HLLState(p["m"], acc[0], acc[1]).to_bytes(sparse=True),
+                    acc[1])
         if self.kind == "cms":
             return CMSState(p["d"], p["w"], acc[0], acc[1]).to_bytes(), acc[1]
         if self.kind == "bloom":
@@ -501,7 +505,11 @@ def _build_partials(df: DataFrame, spec: _Spec, value_col: str,
             for key, regs, n_items in keyed_hll.states():
                 out_rows.append({
                     key_col: key,
-                    "state": HLLState(spec.p["m"], regs, n_items).to_bytes(),
+                    # sparse partial frames (state.py v2): fine-grained
+                    # keys leave most of the m registers zero, and these
+                    # rows exist only to be shuffled into phase 2
+                    "state": HLLState(spec.p["m"], regs,
+                                      n_items).to_bytes(sparse=True),
                     "n_items": n_items, "partition_id": pid,
                     "rows_consumed": rows_by_key[key]})
         for key, acc in accs.items():

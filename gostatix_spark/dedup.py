@@ -208,40 +208,50 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     Output: [id_a, id_b, jaccard] with jaccard ≥ threshold. Exactness
     of the verify step means the pipeline can only *miss* pairs
     (LSH/prefilter recall), never emit a false positive."""
-    # signatures feed both sides of the band self-join — persist so the
-    # UDF runs once per row, not once per join side
+    # signatures feed the band join plus both sides of the agreement
+    # prefilter — persist so the UDF runs once per row
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
                               seed).persist()
-    # The signature travels THROUGH the band join so the agreement
-    # prefilter runs INLINE on the raw join output — filter first,
-    # dedup after. The alternative (distinct the candidate pairs, then
-    # join the signature table back on twice) shuffles the candidate
-    # table three times; on low-entropy corpora the raw candidate count
-    # is near-quadratic (≈1M pairs from 5k docs here), so shuffling it
-    # repeatedly dominates the whole pipeline. Carrying the sig costs
-    # bands× extra signature bytes in ONE shuffle — linear in docs,
-    # not pairs, which is the right trade at any scale where LSH is
-    # useful (candidates ≫ docs).
+    # Band join carries ONLY (id, band, bucket); candidate pairs are
+    # DEDUPED FIRST, then the signatures re-attach for the agreement
+    # prefilter. On low-entropy corpora the raw band-collision output
+    # is near-quadratic (≈1M rows from 5k docs here) while the distinct
+    # pair set is ~20× smaller — and the prefilter's zip_with/aggregate
+    # runs INTERPRETED per pair, so evaluating it on the raw join
+    # output (the r4-r5 shape, which carried the sig through the join
+    # to avoid re-join shuffles) burned ~6 s of lambda evaluation to
+    # save a 16 MB id-pair shuffle. Dedup-first pays one narrow
+    # shuffle of (id_a, id_b) rows; the signature re-attach joins a
+    # doc-count-sized table (AQE broadcasts it when small) and the
+    # estimator runs once per DISTINCT pair. Estimator semantics are
+    # unchanged — est is a pure function of the pair, so filtering
+    # before or after the dedup selects the same pairs.
     banded = sigs.select(
-        "id", "sig",
+        "id",
         F.posexplode(F.array(*_band_bucket_cols(num_perm, bands)))
         .alias("band", "bucket"))
     a, b = banded.alias("a"), banded.alias("b")
+    pair_ids = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                           F.col("a.bucket") == F.col("b.bucket"),
+                           F.col("a.id") < F.col("b.id")])
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"))
+                .distinct())
     # JVM prefilter: fraction of agreeing permutations estimates Jaccard;
     # exact-verify only pairs estimated ≥ ~threshold (small slack for
     # estimator variance ≈ sqrt(t(1-t)/num_perm))
     slack = 2.0 * (threshold * (1 - threshold) / num_perm) ** 0.5
     est = F.aggregate(
-        F.zip_with(F.col("a.sig"), F.col("b.sig"),
+        F.zip_with(F.col("_sa"), F.col("_sb"),
                    lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda acc, x: acc + x) / num_perm
-    cands = (a.join(b, [F.col("a.band") == F.col("b.band"),
-                        F.col("a.bucket") == F.col("b.bucket"),
-                        F.col("a.id") < F.col("b.id")])
+    cands = (pair_ids
+             .join(sigs.select(F.col("id").alias("id_a"),
+                               F.col("sig").alias("_sa")), "id_a")
+             .join(sigs.select(F.col("id").alias("id_b"),
+                               F.col("sig").alias("_sb")), "id_b")
              .where(est >= threshold - slack)
-             .select(F.col("a.id").alias("id_a"),
-                     F.col("b.id").alias("id_b"))
-             .distinct())
+             .select("id_a", "id_b"))
     # the prefiltered candidate set is small (survivors of the ≥threshold
     # estimate); materialize it so the cached signatures can be released
     # instead of pinning executor memory for the verify stage's lifetime

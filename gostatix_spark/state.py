@@ -129,7 +129,24 @@ class HLLState:
     registers: np.ndarray  # uint8[m]
     n_items: int = 0
 
-    def to_bytes(self) -> bytes:
+    def to_bytes(self, sparse: bool = False) -> bytes:
+        """Version 1 = dense register payload (the public wire format,
+        unchanged). ``sparse=True`` opts in to version 2 — (idx u32,
+        val u8) pairs of the NON-ZERO registers — chosen only when it
+        is actually smaller. Used for in-flight phase-1 partials of
+        fine-grained keyed builds (e.g. 3.4k hourly windows × 32
+        partitions), where each partial has ~50 of 4096 registers set
+        and the dense frames dominated the merge shuffle. Decoding is
+        transparent: ``from_bytes`` dispatches on the version byte, so
+        merge/checkpoint/resume paths accept either version; phase-2
+        outputs stay dense."""
+        if sparse:
+            idx = np.nonzero(self.registers)[0]
+            if 5 * len(idx) < self.m:
+                header = struct.pack("<BQQ", 2, self.m, self.n_items)
+                payload = (idx.astype("<u4").tobytes()
+                           + self.registers[idx].tobytes())
+                return _frame("hll", header, payload)
         header = struct.pack("<BQQ", 1, self.m, self.n_items)
         return _frame("hll", header, self.registers.tobytes())
 
@@ -137,7 +154,15 @@ class HLLState:
     def from_bytes(cls, buf: bytes) -> "HLLState":
         kind, header, payload = _unframe(buf)
         assert kind == "hll"
-        _, m, n = struct.unpack("<BQQ", header)
+        ver, m, n = struct.unpack("<BQQ", header)
+        if ver == 2:
+            cnt = len(payload) // 5
+            idx = np.frombuffer(payload, dtype="<u4", count=cnt)
+            vals = np.frombuffer(payload, dtype=np.uint8,
+                                 count=cnt, offset=4 * cnt)
+            regs = np.zeros(m, dtype=np.uint8)
+            regs[idx] = vals
+            return cls(m, regs, n)
         return cls(m, np.frombuffer(payload, dtype=np.uint8).copy(), n)
 
     def to_json(self) -> str:

@@ -48,6 +48,34 @@ def test_hll_roundtrip():
     assert hll.count(_roundtrip(s).registers) == hll.count(reg)
 
 
+def test_hll_sparse_partial_roundtrip():
+    """state.py v2 sparse frames: chosen only when smaller, decoded
+    transparently, merge-law compatible with dense frames."""
+    from gostatix_spark.agg import merge_sketch_states
+
+    m = 4096
+    # sparsely-filled partial (the fine-grained keyed-build shape)
+    reg = hll.new_state(m)
+    h1, _ = H.hash_tokens(np.arange(50, dtype=np.int32), "metro")
+    hll.update_batch(reg, h1)
+    s = state.HLLState(m, reg, 50)
+    sb = s.to_bytes(sparse=True)
+    assert len(sb) < len(s.to_bytes())          # actually smaller
+    assert s.equals(state.HLLState.from_bytes(sb))
+    assert state.HLLState.from_bytes(sb).n_items == 50
+    # dense column: sparse=True must FALL BACK to the v1 dense frame
+    full = state.HLLState(m, np.ones(m, dtype=np.uint8), m)
+    assert full.to_bytes(sparse=True) == full.to_bytes()
+    # mixed-version merge equals all-dense merge
+    reg2 = hll.new_state(m)
+    h2, _ = H.hash_tokens(np.arange(25, 90, dtype=np.int32), "metro")
+    hll.update_batch(reg2, h2)
+    s2 = state.HLLState(m, reg2, 65)
+    mixed = merge_sketch_states([s.to_bytes(sparse=True), s2.to_bytes()])
+    dense = merge_sketch_states([s.to_bytes(), s2.to_bytes()])
+    assert mixed == dense
+
+
 def test_cms_roundtrip():
     mat = cms.new_state(3, 271)
     h1, h2 = H.hash_tokens(np.arange(1000, dtype=np.int32), "metro")
