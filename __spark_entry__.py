@@ -524,12 +524,13 @@ def q_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-windowed sketch: distinct users per (event_type, hour) —
     composite key demo; gate = estimates within the published bound
     (estimates themselves are rows-only; the gate has an oracle)."""
-    # two consumers (sketch build + exact countDistinct) — persist so
-    # the scan + repartition + key projection runs once, not per branch
+    # two consumers (sketch build + exact countDistinct) share the
+    # repartition Exchange via ReuseExchange — an explicit persist was
+    # A/B-measured SLOWER (cache write for no saved work)
     events = _read(spark, sf_dir, "events").repartition(32).withColumn(
         "etype_hour", F.concat_ws("|", "event_type",
                                   F.date_format(F.date_trunc("hour", "ts"),
-                                                "yyyy-MM-dd HH"))).persist()
+                                                "yyyy-MM-dd HH")))
     states = sketch_agg(events, "hll", "user_id", key_col="etype_hour",
                         m=4096, merge_buckets=32)
     est = hll_estimate(states).select("etype_hour", "est_distinct")
@@ -850,7 +851,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_pipeline_ops.py)."""
     import os
     import tempfile
-    emb = _read(spark, sf_dir, "embeddings").repartition(32)
+    # no up-front repartition: the index build reshuffles by centroid
+    # id before its partitioned write anyway, and the assign UDF over
+    # one scan partition is a single small matmul — the old
+    # repartition(32) was one extra full-table Exchange
+    emb = _read(spark, sf_dir, "embeddings")
     # q_vec in double: float⊗double promotes per element, so the
     # cosine accumulates in double exactly like the oracle's
     # CAST(... AS DOUBLE[]) — near-tie ranks can't flip on precision
@@ -879,7 +884,7 @@ def q_ann_ivf_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
     import tempfile
-    emb = _read(spark, sf_dir, "embeddings").repartition(32)
+    emb = _read(spark, sf_dir, "embeddings")
     queries = (emb.where("vec_id < 3")
                .select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").cast("array<double>")

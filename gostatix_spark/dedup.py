@@ -84,12 +84,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str,
             )
 
 
-def _shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
-    """Per-doc array of distinct murmur3-h1 hashes of the k-char
-    shingles. Vectorized across the WHOLE batch: all docs' shingle
-    windows are gathered into one (total_shingles, k) byte matrix and
-    hashed in a single kernel call; per-doc work is just the final
-    np.unique split."""
+def _shingle_hashes_flat(texts: pd.Series, k: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """(flat murmur3-h1 hashes of every k-char shingle, (n+1,) doc
+    offsets) — one batch-wide byte-matrix gather + one hash kernel
+    call; NO per-doc dedup (callers that need distinct hashes unique
+    per slice; min-reductions don't need it)."""
     bufs = []
     lens = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
@@ -106,11 +106,15 @@ def _shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
                   + _concat_aranges(n_shingles))
     mat = flat[win_starts[:, None] + np.arange(k)[None, :]]
     h1, _ = hashing._VEC["murmur3"](mat, 0)
-    out = []
-    offs = np.concatenate(([0], np.cumsum(n_shingles)))
-    for i in range(len(texts)):
-        out.append(np.unique(h1[offs[i]:offs[i + 1]]))
-    return out
+    return h1, np.concatenate(([0], np.cumsum(n_shingles)))
+
+
+def _shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
+    """Per-doc array of DISTINCT murmur3-h1 shingle hashes (the
+    exact-verify representation; ``np.unique`` per doc slice)."""
+    h1, offs = _shingle_hashes_flat(texts, k)
+    return [np.unique(h1[offs[i]:offs[i + 1]])
+            for i in range(len(offs) - 1)]
 
 
 def _concat_aranges(counts: np.ndarray) -> np.ndarray:
@@ -139,15 +143,23 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        res = []
-        for hs in _shingle_hashes(texts, shingle_k):
-            if len(hs) == 0:
-                res.append([0] * num_perm)
-                continue
-            h = _red61(hs)
-            perm = _red61(_mulmod61(a[:, None], h[None, :]) + b[:, None])
-            res.append(perm.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(res)
+        # fully vectorized across the batch: one permutation row at a
+        # time over ALL docs' shingle hashes (the per-doc temp stays
+        # ~8 B/shingle, cache-friendly), then one minimum.reduceat per
+        # row collapses to per-doc minima. min over duplicate shingles
+        # equals min over distinct ones, so no per-doc np.unique; the
+        # old per-doc python loop (unique + (64, n_i) perm matrix per
+        # doc) dominated the signature stage.
+        if not len(texts):
+            return pd.Series([], dtype=object)
+        h1, offs = _shingle_hashes_flat(texts, shingle_k)
+        h = _red61(h1)
+        starts = offs[:-1]
+        out = np.empty((num_perm, len(texts)), dtype=np.uint64)
+        for j in range(num_perm):
+            row = _red61(_mulmod61(a[j], h) + b[j])
+            out[j] = np.minimum.reduceat(row, starts)
+        return pd.Series(out.T.astype(np.int64).tolist())
 
     return df.select(F.col(id_col).alias("id"),
                      sig(F.col(text_col)).alias("sig"))

@@ -48,6 +48,15 @@ def get_spark(app: str = "gostatix-spark", cores: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true). The
+        # byte-honoring alternative (false + advisory size) was
+        # measured and REJECTED: several of this library's post-shuffle
+        # stages run interpreted higher-order expressions over NARROW
+        # rows (signature-agreement estimates, array_intersect
+        # verifies), so sizing partitions by bytes collapsed them to
+        # one task and serialized the compute (minhash verify 7 s →
+        # 58 s). Compute-per-byte here is too uneven for byte-based
+        # coalescing.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(arrow_batch_rows))
