@@ -37,6 +37,21 @@ def get_spark(app: str = "gostatix-spark", cores: int | None = None,
     ``local[N]`` alone caps only task slots; the JVM's service threads
     otherwise assume all 32 host CPUs. Only honored at JVM launch (the
     first session in a process)."""
+    # Pin glibc's mmap threshold before the JVM (and, transitively, the
+    # python worker daemon) is launched. Arrow/netty direct buffers and
+    # numpy batch arrays above the default ~128 KB threshold otherwise
+    # go through mmap/munmap on EVERY alloc/free cycle; with 32 task
+    # threads that serializes on the kernel's mmap_lock — measured here
+    # as 50+ s of system time on a single keyed-sketch query, plus
+    # hypervisor steal from the TLB-shootdown storm (guide §5: memory
+    # behavior is part of the operator's cost). Serving those from the
+    # arena instead cut the suite's sys time 5-8× on the heavy queries.
+    # Trade-off: freed arena memory is retained up to the trim
+    # threshold (RSS grows toward the high-water mark) — right for a
+    # dedicated executor host, overridable via the environment.
+    for _var, _val in (("MALLOC_MMAP_THRESHOLD_", str(512 * 1024 * 1024)),
+                       ("MALLOC_TRIM_THRESHOLD_", str(512 * 1024 * 1024))):
+        os.environ.setdefault(_var, _val)
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -63,6 +78,19 @@ def get_spark(app: str = "gostatix-spark", cores: int | None = None,
         .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.python.worker.reuse", "true")
+        # Preload pandas/pyarrow/kernels in the worker daemon so each
+        # forked worker inherits them via fork COW (guide §4.3; see
+        # daemon_preload docstring — worker reuse alone does not stick,
+        # and a cold import was measured at 0.7 s CPU per fork on slow
+        # hosts). executorEnv.PYTHONPATH makes the package importable
+        # by the daemon process itself (workers get sys.path from the
+        # worker-startup protocol, the daemon does not).
+        .config("spark.python.daemon.module", "gostatix_spark.daemon_preload")
+        .config("spark.executorEnv.PYTHONPATH",
+                os.pathsep.join(
+                    [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+                    + ([os.environ["PYTHONPATH"]]
+                       if os.environ.get("PYTHONPATH") else [])))
         .config("spark.ui.enabled", "false")
     )
     if active_processors is not None:
